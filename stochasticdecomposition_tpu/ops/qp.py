@@ -1,0 +1,181 @@
+"""Dense primal-dual interior-point solver for the regularized master QP.
+
+TPU-native replacement for the CPLEX QP solves of the reference master
+(solveProblem at master.c:41 with the separable proximal Q loaded via
+copyQPseparable, master.c:191-211).  The master in d-space is tiny — at most
+first-stage-cols + 1 variables and rows + maxCuts constraints (setup.c:126) —
+so one fused Mehrotra predictor-corrector with dense KKT solves is both exact
+and fast, and `vmap` gives the batched compromise/bootstrap variants for free.
+
+Problem form:   min 0.5 v'Qv + c'v   s.t.  A v = b,   G v <= h.
+
+Duals returned follow the CPLEX minimization convention used by the reference
+bootstrap lower bound (optimal.c:240-338): multipliers `z` of the G rows are
+nonnegative; callers flip signs when mapping back to >=/<= rows.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from stochasticdecomposition_tpu.ops.linalg import gj_solve
+
+
+class QPResult(NamedTuple):
+    converged: jnp.ndarray    # bool
+    v: jnp.ndarray            # [n] primal solution
+    obj: jnp.ndarray          # 0.5 v'Qv + c'v
+    y: jnp.ndarray            # [me] equality duals (free sign)
+    z: jnp.ndarray            # [mi] inequality duals (>= 0)
+    s: jnp.ndarray            # [mi] slacks of G v <= h
+    iters: jnp.ndarray
+    gap: jnp.ndarray          # final complementarity measure
+
+
+def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
+             ineq_mask=None, eq_mask=None) -> QPResult:
+    """Solve the convex QP. All shapes static; empty A/G allowed (0 rows).
+
+    ``ineq_mask``/``eq_mask`` optionally disable padded rows (True = active):
+    masked-out inequality rows behave as 0'v <= 1, masked-out equality rows as
+    0'v = 0, so callers can preallocate constraint blocks at fixed capacity.
+    """
+    dtype = Q.dtype
+    n = Q.shape[0]
+    me = A.shape[0]
+    mi = G.shape[0]
+
+    if ineq_mask is not None:
+        G = jnp.where(ineq_mask[:, None], G, 0.0)
+        h = jnp.where(ineq_mask, h, 1.0)
+    if eq_mask is not None:
+        A = jnp.where(eq_mask[:, None], A, 0.0)
+        b = jnp.where(eq_mask, b, 0.0)
+        # A padded zero equality row keeps the KKT matrix singular; give it a
+        # dummy identity-ish entry tied to a zero rhs via regularization below.
+
+    # Initial point.
+    v0 = jnp.zeros(n, dtype=dtype)
+    y0 = jnp.zeros(me, dtype=dtype)
+    s0 = jnp.maximum(jnp.abs(h), 1.0)
+    z0 = jnp.ones(mi, dtype=dtype)
+
+    eq_reg = 1e-10   # tiny dual regularization keeps padded eq rows nonsingular
+
+    def kkt_solve(M, rhs_v, rhs_y):
+        """Solve [[M, A'], [A, -eq_reg I]] [dv, dy] = [rhs_v, rhs_y]."""
+        if me == 0:
+            return gj_solve(M, rhs_v), jnp.zeros(0, dtype=dtype)
+        K = jnp.block([
+            [M, A.T],
+            [A, -eq_reg * jnp.eye(me, dtype=dtype)],
+        ])
+        sol = gj_solve(K, jnp.concatenate([rhs_v, rhs_y]))
+        return sol[:n], sol[n:]
+
+    def body(carry):
+        v, y, z, s, it, done, gap_prev = carry
+
+        rd = Q @ v + c + (A.T @ y if me else 0.0) + G.T @ z
+        rp = (A @ v - b) if me else jnp.zeros(0, dtype=dtype)
+        rg = G @ v + s - h
+        mu = jnp.dot(s, z) / jnp.maximum(mi, 1)
+
+        res = jnp.maximum(jnp.max(jnp.abs(rd)),
+                          jnp.maximum(jnp.max(jnp.abs(rg)) if mi else 0.0,
+                                      jnp.max(jnp.abs(rp)) if me else 0.0))
+        converged = (res < tol * 10) & (mu < tol)
+
+        zs = z / s
+        M = Q + (G.T * zs) @ G + 1e-12 * jnp.eye(n, dtype=dtype)
+
+        # --- affine (predictor) step ---
+        rc_aff = z * s
+        rhs_v = -(rd + G.T @ ((-rc_aff + z * rg) / s))
+        dv_aff, dy_aff = kkt_solve(M, rhs_v, -rp)
+        ds_aff = -rg - G @ dv_aff
+        dz_aff = (-rc_aff - z * ds_aff) / s
+
+        def max_step(x, dx):
+            r = jnp.where(dx < 0, -x / jnp.where(dx < 0, dx, -1.0), jnp.inf)
+            return jnp.minimum(1.0, jnp.min(r) if mi else 1.0)
+
+        ap_aff = max_step(s, ds_aff)
+        ad_aff = max_step(z, dz_aff)
+        mu_aff = jnp.dot(s + ap_aff * ds_aff, z + ad_aff * dz_aff) / jnp.maximum(mi, 1)
+        sigma = (mu_aff / jnp.maximum(mu, 1e-300)) ** 3
+
+        # --- corrector step ---
+        rc = z * s + ds_aff * dz_aff - sigma * mu
+        rhs_v = -(rd + G.T @ ((-rc + z * rg) / s))
+        dv, dy = kkt_solve(M, rhs_v, -rp)
+        ds = -rg - G @ dv
+        dz = (-rc - z * ds) / s
+
+        frac = 0.995
+        ap = frac * max_step(s, ds)
+        ad = frac * max_step(z, dz)
+
+        v_new = v + ap * dv
+        s_new = s + ap * ds
+        y_new = y + ad * dy
+        z_new = z + ad * dz
+
+        v, y, z, s = lax.cond(
+            converged,
+            lambda: (v, y, z, s),
+            lambda: (v_new, y_new, z_new, s_new))
+        return (v, y, z, s, it + 1, done | converged, mu)
+
+    def cond(carry):
+        _, _, _, _, it, done, _ = carry
+        return ~done & (it < max_iter)
+
+    v, y, z, s, it, done, gap = lax.while_loop(
+        cond, body, (v0, y0, z0, s0, jnp.int32(0), jnp.bool_(False),
+                     jnp.asarray(jnp.inf, dtype)))
+
+    # ---- active-set polish ("crossover-lite") ---------------------------
+    # IPM iterates land O(sqrt(mu)) away from degenerate vertices; the
+    # reference's CPLEX returns exact basic solutions.  Re-solve the KKT
+    # equalities on the identified active set and keep the polished point if
+    # it satisfies the full KKT system.
+    if mi:
+        slack = h - G @ v
+        active = z > slack                      # strongly-active classifier
+        act = active.astype(dtype)
+        reg = 1e-12
+        # Rows: [Q A' G'; A -eI 0; diag(act) G  0  -(1-act) I - e I]
+        top = jnp.concatenate([Q, A.T, G.T], axis=1) if me else \
+            jnp.concatenate([Q, G.T], axis=1)
+        if me:
+            mid = jnp.concatenate(
+                [A, -reg * jnp.eye(me, dtype=dtype),
+                 jnp.zeros((me, mi), dtype=dtype)], axis=1)
+        G_act = act[:, None] * G
+        zblk = jnp.diag(-(1.0 - act) - reg)
+        bot = jnp.concatenate(
+            [G_act] + ([jnp.zeros((mi, me), dtype=dtype)] if me else []) +
+            [zblk], axis=1)
+        K = jnp.concatenate([top] + ([mid] if me else []) + [bot], axis=0)
+        rhs = jnp.concatenate(
+            [-c] + ([b] if me else []) + [act * h])
+        sol = gj_solve(K, rhs)
+        v_p = sol[:n]
+        y_p = sol[n:n + me]
+        z_p = sol[n + me:]
+        feas = jnp.max(G @ v_p - h) <= 1e-7 if mi else jnp.bool_(True)
+        feas &= jnp.min(z_p) >= -1e-7
+        if me:
+            feas &= jnp.max(jnp.abs(A @ v_p - b)) <= 1e-7
+        v = jnp.where(feas & done, v_p, v)
+        y = jnp.where(feas & done, y_p, y) if me else y
+        z = jnp.where(feas & done, jnp.maximum(z_p, 0.0), z)
+        s = jnp.where(feas & done, jnp.maximum(h - G @ v, 0.0), s)
+
+    obj = 0.5 * v @ (Q @ v) + c @ v
+    return QPResult(converged=done, v=v, obj=obj, y=y, z=z, s=s,
+                    iters=it, gap=gap)

