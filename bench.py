@@ -1,0 +1,139 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: batched subproblem-LP throughput on the device (the axis the
+reference spends its time on: evaluate.c's thousands of sequential CPLEX
+solves).  ``vs_baseline`` compares against scipy/HiGHS solving the same LPs
+sequentially on the host CPU — the honest single-core stand-in for the
+reference's CPLEX loop (CPLEX itself is unavailable here; see BASELINE.md).
+
+Extras report end-to-end SD iteration rate and objective parity vs the
+extensive-form optimum.
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def bench_eval_throughput(solver, batch, rounds=8):
+    from stochasticdecomposition_tpu.core.evaluate import make_eval_batch
+
+    fn = make_eval_batch(solver.pa, solver.spec, batch)
+    x = jnp.asarray(solver.mean_sol, solver.pa.c1.dtype)
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    jax.block_until_ready(fn(x, key))
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(rounds):
+        key, sub = jax.random.split(key)
+        s, sq, ok = fn(x, sub)
+        n += batch
+    jax.block_until_ready((s, sq, ok))
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_scipy_throughput(solver, n_solve=200):
+    from scipy.optimize import linprog
+
+    from stochasticdecomposition_tpu.sampler import sample_omega
+
+    pa = solver.pa
+    D = np.asarray(pa.D)
+    sense = np.asarray(pa.sense2)
+    l = np.asarray(pa.l2)
+    u = np.asarray(pa.u2)
+    x = np.asarray(solver.mean_sol)
+    w = np.asarray(sample_omega(solver.spec, jax.random.PRNGKey(2), n_solve,
+                                dtype=pa.c1.dtype)) - np.asarray(pa.omega_mean)
+
+    bounds = list(zip(l, u))
+    ub_rows = sense == -1
+    ge_rows = sense == 1
+    eq_rows = sense == 0
+    t0 = time.perf_counter()
+    for i in range(n_solve):
+        rhs = np.asarray(pa.b_bar) - np.asarray(pa.C_bar) @ x
+        nb = pa.rv_b_rows.shape[0]
+        if nb:
+            rhs[np.asarray(pa.rv_b_rows)] += w[i, :nb]
+        cost = np.asarray(pa.d_bar)
+        A_ub = np.vstack([D[ub_rows], -D[ge_rows]])
+        b_ub = np.concatenate([rhs[ub_rows], -rhs[ge_rows]])
+        linprog(cost, A_ub=A_ub if len(A_ub) else None,
+                b_ub=b_ub if len(b_ub) else None,
+                A_eq=D[eq_rows] if eq_rows.any() else None,
+                b_eq=rhs[eq_rows] if eq_rows.any() else None,
+                bounds=bounds, method="highs")
+    dt = time.perf_counter() - t0
+    return n_solve / dt
+
+
+def bench_sd_iterations(solver, cfg, n_iter=60):
+    from stochasticdecomposition_tpu.core.state import init_state
+
+    state = init_state(solver.pa, solver.caps, cfg, solver.mean_sol,
+                       jax.random.PRNGKey(3))
+    state = solver.step(state)              # compile
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(n_iter - 1):
+        state = solver.step(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return (n_iter - 1) / dt, state
+
+
+def main():
+    from stochasticdecomposition_tpu.config import SDConfig
+    from stochasticdecomposition_tpu.models.extensive import (
+        enumerate_scenarios, solve_extensive_form,
+    )
+    from stochasticdecomposition_tpu.models.instances import load_instance
+    from stochasticdecomposition_tpu.prob import decompose
+    from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
+
+    core, tim, stoc = load_instance("pgp2like")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    cfg = SDConfig(MAX_ITER=400, EVAL_FLAG=False)
+    solver = SDSolver(sp, cfg)
+
+    batch = 512
+    tpu_rate = bench_eval_throughput(solver, batch)
+    cpu_rate = bench_scipy_throughput(solver, n_solve=100)
+    iters_per_sec, _ = bench_sd_iterations(solver, cfg, n_iter=40)
+
+    # Objective parity: full SD run vs extensive form.
+    outs, probs = enumerate_scenarios(stoc, sp.rv_order)
+    ef_obj, _ = solve_extensive_form(sp, outs, probs)
+    r = solver.solve_replication(0)
+    ev = solver.evaluate_x(r.incumb_x)
+    parity_gap = abs(ev.mean - ef_obj) / abs(ef_obj)
+
+    print(json.dumps({
+        "metric": "batched_subproblem_lp_throughput",
+        "value": round(tpu_rate, 2),
+        "unit": "LP solves/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 3),
+        "cpu_scipy_lp_per_s": round(cpu_rate, 2),
+        "sd_iters_per_s": round(iters_per_sec, 2),
+        "sd_iterations_to_stop": r.iterations,
+        "objective_parity_gap": round(parity_gap, 6),
+        "eval_obj": round(ev.mean, 4),
+        "ef_opt": round(ef_obj, 4),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Command line interface.
+
+Mirrors the reference CLI (parseCmdLine, twoSD.c:67-128): ``-p`` problem
+name, ``-i`` input dir, ``-o`` output dir, ``-e`` eval flag, ``-d`` dual
+stability, ``-t {l,n,t}`` tolerance preset, ``-m`` replications, ``-c``
+compromise; plus ``--config`` for a config.sd file (readConfig,
+twoSD.c:152-254).
+
+Usage:  python -m stochasticdecomposition_tpu.cli -p lands -i <dir> -o out/
+Built-in instances resolve without ``-i`` (e.g. ``-p lands``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from stochasticdecomposition_tpu.config import SDConfig, load_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="twoSD-tpu",
+        description="TPU-native two-stage stochastic decomposition")
+    p.add_argument("-p", dest="prob_name", required=True,
+                   help="problem name (SMPS base name or built-in instance)")
+    p.add_argument("-i", dest="input_dir", default=None,
+                   help="directory with <prob>.cor/.tim/.sto")
+    p.add_argument("-o", dest="output_dir", default="./output",
+                   help="output directory for result files")
+    p.add_argument("-e", dest="eval_flag", type=int, default=None,
+                   help="evaluate the final solution out of sample {0,1}")
+    p.add_argument("-d", dest="dual_stability", type=int, default=None,
+                   help="use the dual stability test {0,1}")
+    p.add_argument("-t", dest="tolerance", choices=["l", "n", "t"],
+                   default=None, help="tolerance preset: loose/nominal/tight")
+    p.add_argument("-m", dest="multiple_rep", type=int, default=None,
+                   help="number of replications")
+    p.add_argument("-c", dest="compromise", type=int, default=None,
+                   help="build and solve the compromise problem {0,1}")
+    p.add_argument("--config", dest="config_path", default=None,
+                   help="path to a config.sd file")
+    p.add_argument("--max-iter", dest="max_iter", type=int, default=None)
+    p.add_argument("--seed-offset", dest="seed_offset", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+    cfg = load_config(args.config_path) if args.config_path else SDConfig()
+    if args.eval_flag is not None:
+        cfg.EVAL_FLAG = bool(args.eval_flag)
+    if args.dual_stability is not None:
+        cfg.DUAL_STABILITY = bool(args.dual_stability)
+    if args.tolerance is not None:
+        cfg.apply_tolerance_preset(args.tolerance)
+    if args.multiple_rep is not None:
+        cfg.MULTIPLE_REP = args.multiple_rep
+    if args.compromise is not None:
+        cfg.COMPROMISE_PROB = bool(args.compromise)
+    if args.max_iter is not None:
+        cfg.MAX_ITER = args.max_iter
+    if cfg.MULTIPLE_REP == 1:
+        cfg.COMPROMISE_PROB = False
+
+    from stochasticdecomposition_tpu.models.instances import INSTANCES, load_instance
+    from stochasticdecomposition_tpu.prob import decompose
+    from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
+    from stochasticdecomposition_tpu.smps import read_smps
+    from stochasticdecomposition_tpu.utils import io as sdio
+
+    if args.input_dir:
+        core, tim, stoc = read_smps(args.input_dir, args.prob_name)
+    elif args.prob_name in INSTANCES:
+        core, tim, stoc = load_instance(args.prob_name)
+    else:
+        print(f"unknown problem {args.prob_name!r}: provide -i or use one of "
+              f"{sorted(INSTANCES)}", file=sys.stderr)
+        return 2
+
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    solver = SDSolver(sp, cfg)
+
+    def log(s):
+        sys.stdout.write(s)
+        sys.stdout.flush()
+
+    print("Starting two-stage stochastic decomposition (TPU).")
+    result = solver.run(log=log)
+    print()
+    for r in result.replications:
+        sdio.print_optimization_summary(r, cfg.MAX_ITER)
+        if r.eval is not None:
+            sdio.print_evaluation_summary(r.eval)
+
+    out_dir = os.path.join(args.output_dir, "twoSD_tpu", args.prob_name)
+    sdio.write_all(out_dir, result)
+    print(f"\nResults written to {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,87 @@
+"""Out-of-sample evaluation, batched.
+
+Reference: evaluate.c — a sequential loop of thousands of CPLEX solves with a
+Welford mean/variance update and the 95%-CI stopping rule (evaluate.c:49).
+Here each round draws EVAL_BATCH observations and solves them as one vmapped
+simplex batch — the embarrassingly-parallel axis that gives the TPU its
+wall-clock win and shards across devices (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stochasticdecomposition_tpu.config import SDConfig
+from stochasticdecomposition_tpu.core.state import ProblemArrays
+from stochasticdecomposition_tpu.core.update import subproblem_rhs_cost
+from stochasticdecomposition_tpu.ops.simplex import STATUS_OPTIMAL, solve_lp
+from stochasticdecomposition_tpu.sampler import SamplerSpec, sample_omega
+
+
+class EvalResult(NamedTuple):
+    mean: float          # total objective estimate: c'x + E[h(x, omega)]
+    stdev: float         # stdev of the recourse term estimate
+    count: int           # observations used
+    ci_low: float
+    ci_high: float
+    error: float         # 3.29 stdev / mean (reference inout.c:37 convention)
+
+
+def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
+                    in_shard_fn=None):
+    """Jitted: (x, key) -> (sum, sumsq, n_ok) over one observation batch."""
+
+    def eval_batch(x, key):
+        dtype = pa.c1.dtype
+        w_raw = sample_omega(spec, key, batch, dtype=dtype)
+        w = w_raw - pa.omega_mean[None, :]
+
+        def solve_one(wi):
+            rhs, cost = subproblem_rhs_cost(pa, x, wi)
+            res = solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs)
+            return res.obj, res.status == STATUS_OPTIMAL
+
+        objs, ok = jax.vmap(solve_one)(w)
+        objs = jnp.where(ok, objs, 0.0)
+        return jnp.sum(objs), jnp.sum(objs * objs), jnp.sum(ok)
+
+    return jax.jit(eval_batch)
+
+
+def evaluate(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig, x,
+             key, *, max_obs: int = 200_000, eval_batch_fn=None) -> EvalResult:
+    """evaluate (evaluate.c:16-111): estimate c'x + E[h] to the configured
+    accuracy: stop when 3.92*stdev <= EVAL_ERROR*|mean| and count >= MIN."""
+    batch = cfg.EVAL_BATCH
+    fn = eval_batch_fn or make_eval_batch(pa, spec, batch)
+    x = jnp.asarray(x, pa.c1.dtype)
+
+    tot = 0.0
+    totsq = 0.0
+    n = 0
+    mean = 0.0
+    stdev = float("inf")
+    while n < max_obs:
+        key, sub = jax.random.split(key)
+        s, sq, ok = fn(x, sub)
+        tot += float(s)
+        totsq += float(sq)
+        n += int(ok)
+        if n > 1:
+            mean = tot / n
+            var = max((totsq - n * mean * mean) / (n - 1), 0.0)
+            stdev = math.sqrt(var / n)
+        if n >= cfg.EVAL_MIN_ITER and 3.92 * stdev <= cfg.EVAL_ERROR * abs(mean):
+            break
+
+    first_cost = float(jnp.asarray(pa.c1 @ x))
+    total = mean + first_cost
+    return EvalResult(
+        mean=total, stdev=stdev, count=n,
+        ci_low=total - 1.645 * stdev, ci_high=total + 1.645 * stdev,
+        error=3.29 * stdev / total if total else float("inf"),
+    )

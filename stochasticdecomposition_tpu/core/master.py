@@ -1,0 +1,120 @@
+"""Regularized QP master in d-space.
+
+Reference: master.c.  The reference mutates a persistent CPLEX model
+(changeEtaCol k/j rescaling at master.c:146-161, RHS lb-shifts at
+master.c:163-188, proximal reload at master.c:191-211).  Here the master is a
+*pure function* of the cut pool, incumbent and proximal scalar: the QP data
+is rebuilt (vectorized) every iteration, which is exactly the eta-rescaling
+trick without any solver-state edits — the XLA-friendly formulation.
+
+Variables v = [d ; eta], d = x - incumbent:
+    min  c'd + eta + (sigma/2)||d||^2
+    s.t. A1 d {sense} b1 - A1 xbar
+         (k/ns_j) eta + beta_j'd >= alpha_j - beta_j'xbar + (k/ns_j - 1) lb
+         beta_f'd >= alpha_f - beta_f'xbar          (feasibility cuts)
+         l - xbar <= d <= u - xbar
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from stochasticdecomposition_tpu.core.state import ProblemArrays, SDState
+from stochasticdecomposition_tpu.ops.qp import solve_qp
+
+
+class MasterResult(NamedTuple):
+    x: jnp.ndarray            # new candidate (incumbent + d)
+    eta: jnp.ndarray
+    d_norm2: jnp.ndarray      # ||d||^2
+    pi_first: jnp.ndarray     # [m1] duals, CPLEX sign convention
+    pi_cuts: jnp.ndarray      # [K] cut-row duals (>= 0)
+    dj: jnp.ndarray           # [n1] reduced costs (bound duals, zl - zu)
+    obj: jnp.ndarray
+    ok: jnp.ndarray           # converged flag
+
+
+def build_and_solve_master(pa: ProblemArrays, state: SDState, k,
+                           *, tol: float = 1e-9) -> MasterResult:
+    dtype = pa.c1.dtype
+    n1 = pa.c1.shape[0]
+    m1 = pa.b1.shape[0]
+    K = state.cut_mask.shape[0]
+    F = state.fcut_mask.shape[0]
+    nv = n1 + 1
+    kf = jnp.asarray(k, dtype)
+    xbar = state.incumb_x
+
+    Q = jnp.zeros((nv, nv), dtype).at[jnp.arange(n1), jnp.arange(n1)].set(
+        state.quad_scalar)
+    c = jnp.concatenate([pa.c1, jnp.ones(1, dtype)])
+
+    b_shift = pa.b1 - pa.A1 @ xbar
+
+    # --- equality rows (first-stage '=' constraints) ---------------------
+    eq_mask = pa.sense1 == 0
+    A_eq = jnp.concatenate([pa.A1, jnp.zeros((m1, 1), dtype)], axis=1)
+    b_eq = b_shift
+
+    # --- inequality rows, all oriented as G v <= h -----------------------
+    # First-stage <= rows keep sign; >= rows flip.
+    sgn = jnp.where(pa.sense1 > 0, -1.0, 1.0).astype(dtype)
+    G_first = sgn[:, None] * A_eq
+    h_first = sgn * b_shift
+    m_first = ~eq_mask
+
+    # Cut rows: (k/ns) eta + beta'd >= rhs  ->  -beta'd - (k/ns) eta <= -rhs.
+    ns = jnp.maximum(state.cut_ns, 1).astype(dtype)
+    eta_coef = kf / ns
+    # lb shift (updateRHS, master.c:163-188); vanishes for TRIVIAL lb = 0.
+    cut_rhs = state.cut_alpha - state.cut_beta @ xbar + (eta_coef - 1.0) * pa.lb
+    G_cut = jnp.concatenate([-state.cut_beta, -eta_coef[:, None]], axis=1)
+    h_cut = -cut_rhs
+
+    # Feasibility cut rows: beta'd >= rhs -> -beta'd <= -rhs (no eta).
+    f_rhs = state.fcut_alpha - state.fcut_beta @ xbar
+    G_f = jnp.concatenate([-state.fcut_beta, jnp.zeros((F, 1), dtype)], axis=1)
+    h_f = -f_rhs
+
+    # Bound rows on d (infinite bounds masked off).
+    lo_d = pa.l1 - xbar
+    up_d = pa.u1 - xbar
+    eye = jnp.eye(n1, dtype=dtype)
+    zcol = jnp.zeros((n1, 1), dtype)
+    G_up = jnp.concatenate([eye, zcol], axis=1)
+    G_lo = jnp.concatenate([-eye, zcol], axis=1)
+    up_mask = jnp.isfinite(up_d)
+    lo_mask = jnp.isfinite(lo_d)
+
+    G = jnp.concatenate([G_first, G_cut, G_f, G_up, G_lo], axis=0)
+    h = jnp.concatenate([h_first, h_cut, h_f,
+                         jnp.where(up_mask, up_d, 1.0),
+                         jnp.where(lo_mask, -lo_d, 1.0)])
+    gmask = jnp.concatenate([m_first, state.cut_mask, state.fcut_mask,
+                             up_mask, lo_mask])
+
+    res = solve_qp(Q, c, A_eq, b_eq, G, h,
+                   ineq_mask=gmask, eq_mask=eq_mask, tol=tol)
+
+    d = res.v[:n1]
+    eta = res.v[n1]
+
+    # Map duals back to the CPLEX minimization convention the bootstrap test
+    # expects (optimal.c:240-338): >= rows positive, <= rows negative,
+    # equality rows from the free eq multipliers (pi = -y).
+    z = res.z
+    z_first = z[:m1]
+    pi_first = jnp.where(eq_mask, -res.y,
+                         jnp.where(pa.sense1 > 0, z_first, -z_first))
+    pi_cuts = z[m1:m1 + K] * state.cut_mask
+    z_up = z[m1 + K + F:m1 + K + F + n1]
+    z_lo = z[m1 + K + F + n1:]
+    dj = z_lo - z_up
+
+    return MasterResult(
+        x=xbar + d, eta=eta, d_norm2=d @ d,
+        pi_first=pi_first, pi_cuts=pi_cuts, dj=dj,
+        obj=res.obj, ok=res.converged,
+    )

@@ -208,7 +208,7 @@ def init_state(pa: ProblemArrays, caps: Capacities, cfg: SDConfig,
     x0 = jnp.asarray(x0, dtype)
     candid_est = pa.lb + pa.c1 @ x0    # setup.c:102
 
-    return SDState(
+    state = SDState(
         key=key,
         k=jnp.int32(0),
         lp_cnt=jnp.int32(0),
@@ -260,3 +260,8 @@ def init_state(pa: ProblemArrays, caps: Capacities, cfg: SDConfig,
         feas_cnt=jnp.int32(0),
         master_ok=jnp.bool_(True),
     )
+    # Distinct buffers per leaf: the step donates its input, and XLA rejects
+    # donating one buffer twice (x0 / candid_est would otherwise be shared).
+    import jax
+
+    return jax.tree.map(jnp.copy, state)

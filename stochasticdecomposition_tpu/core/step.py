@@ -1,0 +1,146 @@
+"""One SD iteration as a single jitted program.
+
+Composes the reference hot path (solveCell body, algo.c:127-183):
+draw observation -> dedup -> candidate subproblem + stochastic updates +
+candidate cut -> incumbent cut every TAU -> incumbent-improvement check ->
+regularized QP master.  The factory closes over the problem arrays, sampler
+spec and (static) config so the returned function is state -> state and the
+host loop only reads back a handful of scalars per iteration.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stochasticdecomposition_tpu.config import SDConfig
+from stochasticdecomposition_tpu.core.cuts import (
+    add_cut, form_cut, max_cut_height,
+)
+from stochasticdecomposition_tpu.core.master import build_and_solve_master
+from stochasticdecomposition_tpu.core.state import (
+    Capacities, ProblemArrays, SDState,
+)
+from stochasticdecomposition_tpu.core.update import (
+    calc_omega, solve_subproblem, stochastic_updates,
+)
+from stochasticdecomposition_tpu.ops.simplex import STATUS_OPTIMAL
+from stochasticdecomposition_tpu.sampler import SamplerSpec, sample_omega
+
+
+def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
+              *, jit: bool = True):
+    """Build the jitted SD iteration for a staged problem."""
+    tol = cfg.TOLERANCE
+    dtype = pa.c1.dtype
+
+    def _form_sd_cut(state: SDState, x, o_idx, new_o, k, incumbent: bool):
+        """formSDCut (cuts.c:22-89): solve subproblem, run stochastic
+        updates, build the SD cut via argmax, add it to pool."""
+        w = state.omega_vals[o_idx]
+        res = solve_subproblem(pa, x, w)
+        sp_feas = res.status == STATUS_OPTIMAL
+        state = state._replace(lp_cnt=state.lp_cnt + 1,
+                               sp_feas=state.sp_feas & sp_feas)
+        state, _sidx = stochastic_updates(pa, state, res, o_idx, new_o, k, tol)
+        parts, state = form_cut(
+            pa, state, x, k,
+            dual_stability=cfg.DUAL_STABILITY,
+            pi_eval_start=cfg.PI_EVAL_START,
+            pi_cycle=cfg.PI_CYCLE,
+            scan_len=cfg.SCAN_LEN)
+        state, slot = add_cut(pa, state, parts, k, incumbent=incumbent,
+                              tol=tol)
+        return state, slot
+
+    def _check_improvement(state: SDState, cand_slot, k):
+        """checkImprovement / replaceIncumbent (soln.c:24-94)."""
+        candid_est = pa.c1 @ state.candid_x + \
+            max_cut_height(pa, state, state.candid_x, k)
+        incumb_est = pa.c1 @ state.incumb_x + \
+            max_cut_height(pa, state, state.incumb_x, k)
+        state = state._replace(incumb_est=incumb_est)
+
+        improved = (candid_est - incumb_est) < cfg.R1 * state.gamma
+
+        def _replace(s: SDState) -> SDState:
+            # Proximal rescale (soln.c:69-74).
+            qs = s.quad_scalar
+            grow = (s.norm_dk > tol) & (s.norm_dk >= cfg.R3 * s.norm_dk_1)
+            qs_new = jnp.clip(
+                qs * cfg.R2 * cfg.R3 * s.norm_dk_1 /
+                jnp.where(s.norm_dk > tol, s.norm_dk, 1.0),
+                cfg.MIN_QUAD_SCALAR, cfg.MAX_QUAD_SCALAR)
+            qs = jnp.where(grow, qs_new, qs)
+            return s._replace(
+                incumb_x=s.candid_x,
+                incumb_est=candid_est,
+                quad_scalar=qs,
+                i_cut_idx=cand_slot,
+                i_cut_updt=k,
+                incumb_chg=jnp.bool_(False),
+                norm_dk_1=s.norm_dk,
+                infeas_incumb=jnp.bool_(False),
+                gamma=jnp.asarray(0.0, dtype),
+            )
+
+        def _shrink(s: SDState) -> SDState:
+            # No improvement: relax the proximal term (soln.c:50-51).
+            return s._replace(
+                quad_scalar=jnp.minimum(
+                    jnp.asarray(cfg.MAX_QUAD_SCALAR, dtype),
+                    s.quad_scalar / cfg.R2),
+                norm_dk_1=s.norm_dk,
+            )
+
+        return lax.cond(improved, _replace, _shrink, state)
+
+    def step(state: SDState) -> SDState:
+        k = state.k + 1
+        key, k_draw = jax.random.split(state.key)
+        state = state._replace(k=k, key=key)
+
+        # 2. generateOmega + mean-centering + dedup (algo.c:145-152).
+        w_raw = sample_omega(spec, k_draw, 1, dtype=dtype)[0]
+        w = w_raw - pa.omega_mean
+        state, o_idx, new_o = calc_omega(state, w, tol)
+
+        # 3. candidate cut (algo.c:155).
+        state, cand_slot = _form_sd_cut(
+            state, state.candid_x, o_idx, new_o, k, incumbent=False)
+
+        # 4. incumbent cut every TAU iterations (algo.c:161-166).
+        do_inc = jnp.mod(k - state.i_cut_updt, cfg.TAU) == 0
+        state = lax.cond(
+            do_inc,
+            lambda s: _form_sd_cut(s, s.incumb_x, o_idx, jnp.bool_(False),
+                                   k, incumbent=True)[0],
+            lambda s: s, state)
+
+        # 5. incumbent improvement check (algo.c:169-171).
+        do_chk = ~state.incumb_chg & (k > 1)
+        state = lax.cond(do_chk,
+                         lambda s: _check_improvement(s, cand_slot, k),
+                         lambda s: s, state)
+
+        # 6. master QP (algo.c:174, master.c:18-88).
+        res = build_and_solve_master(pa, state, k)
+        candid_est = pa.c1 @ res.x + max_cut_height(pa, state, res.x, k)
+        state = state._replace(
+            candid_x=res.x,
+            candid_est=candid_est,
+            gamma=candid_est - state.incumb_est,
+            norm_dk=res.d_norm2,
+            norm_dk_1=jnp.where(k == 1, res.d_norm2, state.norm_dk_1),
+            pi_first=res.pi_first,
+            pi_cuts=res.pi_cuts,
+            dj_master=res.dj,
+            eta=res.eta,
+            master_ok=state.master_ok & res.ok,
+        )
+        return state
+
+    return jax.jit(step, donate_argnums=0) if jit else step

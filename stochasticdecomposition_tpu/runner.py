@@ -1,0 +1,200 @@
+"""Replication orchestration: the ``algo()`` / ``solveCell()`` equivalent.
+
+Reference: algo.c.  The device executes one fused SD iteration per step
+(core/step.py); this host loop owns only the stopping decisions (optimal.c
+gate) and replication lifecycle (seeds at algo.c:43-44, cell reset at
+setup.c:195-268 — which here is just constructing a fresh state pytree).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stochasticdecomposition_tpu.config import SDConfig
+from stochasticdecomposition_tpu.core.evaluate import (
+    EvalResult, evaluate, make_eval_batch,
+)
+from stochasticdecomposition_tpu.core.state import (
+    Capacities, derive_capacities, init_state, stage_problem,
+)
+from stochasticdecomposition_tpu.core.step import make_step
+from stochasticdecomposition_tpu.core.stopping import make_full_test, pre_test
+from stochasticdecomposition_tpu.ops.simplex import STATUS_OPTIMAL, solve_lp
+from stochasticdecomposition_tpu.prob import StagedProblem
+from stochasticdecomposition_tpu.sampler import build_sampler
+
+
+@dataclasses.dataclass
+class ReplicationResult:
+    rep: int
+    iterations: int
+    incumb_x: np.ndarray
+    incumb_est: float           # lower-bound estimate at termination
+    optimal: bool               # stopped by the statistical test (vs MAX_ITER)
+    lp_count: int
+    unique_omegas: int
+    pool_sizes: dict
+    time_total: float
+    time_setup: float
+    eval: Optional[EvalResult] = None
+    quad_scalar: float = 0.0
+    cuts_active: int = 0
+
+
+@dataclasses.dataclass
+class RunResult:
+    problem: str
+    replications: List[ReplicationResult]
+    compromise_x: Optional[np.ndarray] = None
+    average_x: Optional[np.ndarray] = None
+    compromise_eval: Optional[EvalResult] = None
+    average_eval: Optional[EvalResult] = None
+
+
+def mean_value_solution(sp: StagedProblem, dtype=jnp.float64) -> np.ndarray:
+    """Solve the deterministic mean-value LP; its first-stage part seeds the
+    initial candidate/incumbent (meanProblem at setup.c:21, used as xk)."""
+    f, s = sp.first, sp.second
+    m1, n1 = f.A.shape
+    m2, n2 = s.D.shape
+    A = np.zeros((m1 + m2, n1 + n2))
+    A[:m1, :n1] = f.A
+    A[m1:, :n1] = s.C_bar
+    A[m1:, n1:] = s.D
+    b = np.concatenate([f.b, s.b_bar])
+    sense = np.concatenate([f.sense, s.sense])
+    c = np.concatenate([f.c, s.d_bar])
+    lo = np.concatenate([f.lb, s.lb])
+    hi = np.concatenate([f.ub, s.ub])
+    out = solve_lp(jnp.asarray(A, dtype), jnp.asarray(sense, jnp.int32),
+                   jnp.asarray(c, dtype), jnp.asarray(lo, dtype),
+                   jnp.asarray(hi, dtype), jnp.asarray(b, dtype))
+    if int(out.status) != STATUS_OPTIMAL:
+        raise RuntimeError(
+            f"mean-value problem not optimal (status {int(out.status)})")
+    return np.asarray(out.y[:n1])
+
+
+def _key_from_seed(seed: int):
+    return jax.random.PRNGKey(seed % (2 ** 63 - 1))
+
+
+class SDSolver:
+    """Compiled solver bound to one staged problem + configuration."""
+
+    def __init__(self, sp: StagedProblem, cfg: SDConfig, dtype=jnp.float64):
+        self.sp = sp
+        self.cfg = cfg
+        self.pa = stage_problem(sp, dtype)
+        self.spec = build_sampler_from(sp)
+        self.caps = derive_capacities(sp, cfg)
+        self.step = make_step(self.pa, self.spec, cfg)
+        self.full_test = make_full_test(self.pa, cfg, cfg.MAX_ITER)
+        self.eval_batch_fn = None
+        self.mean_sol = mean_value_solution(sp, dtype)
+
+    def solve_replication(self, rep: int = 0,
+                          log=lambda s: None) -> ReplicationResult:
+        cfg = self.cfg
+        t0 = time.monotonic()
+        key = _key_from_seed(cfg.RUN_SEED[rep])
+        key, eval_key = jax.random.split(key)
+        state = init_state(self.pa, self.caps, cfg, self.mean_sol, key)
+        t_setup = time.monotonic() - t0
+
+        optimal = False
+        while int(state.k) < cfg.MAX_ITER:
+            k = int(state.k)
+            # Optimality gate (optimal.c:23-42): min iterations + stable duals
+            # + pre-test, then the bootstrap full test.
+            if k > cfg.MIN_ITER and bool(state.dual_stable):
+                if pre_test(float(state.candid_est), float(state.incumb_est),
+                            cfg.PRE_EPSILON):
+                    eval_key, sub = jax.random.split(eval_key)
+                    if bool(self.full_test(state, sub)):
+                        optimal = True
+                        log(">")
+                        break
+                    log(".")
+            state = self.step(state)
+            if not bool(state.sp_feas):
+                raise NotImplementedError(
+                    "subproblem infeasible: feasibility-cut mode is not wired "
+                    "into the runner yet (cuts.c:402-449 equivalent)")
+            if not bool(state.master_ok):
+                raise RuntimeError(f"master QP failed to converge at k={k+1}")
+            if k % 100 == 0:
+                log(f"\nIteration-{k:4d}: ")
+
+        total = time.monotonic() - t0
+        return ReplicationResult(
+            rep=rep,
+            iterations=int(state.k),
+            incumb_x=np.asarray(state.incumb_x),
+            incumb_est=float(state.incumb_est),
+            optimal=optimal,
+            lp_count=int(state.lp_cnt),
+            unique_omegas=int(state.omega_cnt),
+            pool_sizes=dict(
+                omega=int(state.omega_cnt), lam=int(state.lambda_cnt),
+                sigma=int(state.sigma_cnt),
+                cuts=int(jnp.sum(state.cut_mask))),
+            time_total=total,
+            time_setup=t_setup,
+            quad_scalar=float(state.quad_scalar),
+            cuts_active=int(jnp.sum(state.cut_mask)),
+        )
+
+    def evaluate_x(self, x, rep: int = 0) -> EvalResult:
+        if self.eval_batch_fn is None:
+            self.eval_batch_fn = make_eval_batch(
+                self.pa, self.spec, self.cfg.EVAL_BATCH)
+        key = _key_from_seed(self.cfg.EVAL_SEED[rep])
+        return evaluate(self.pa, self.spec, self.cfg, x, key,
+                        eval_batch_fn=self.eval_batch_fn)
+
+    def run(self, log=lambda s: None) -> RunResult:
+        """Full multi-replication run (algo.c:36-96, compromise aside)."""
+        cfg = self.cfg
+        reps = []
+        for rep in range(cfg.MULTIPLE_REP):
+            r = self.solve_replication(rep, log=log)
+            if cfg.EVAL_FLAG:
+                r.eval = self.evaluate_x(r.incumb_x, rep)
+            reps.append(r)
+        return RunResult(problem=self.sp.name, replications=reps)
+
+
+def build_sampler_from(sp: StagedProblem):
+    # The sampler needs the parse-order -> omega-position map; StagedProblem
+    # carries it and the StocData is reconstructed by the caller; to keep the
+    # dependency one-way we stash stoc on sp when available.
+    stoc = getattr(sp, "_stoc", None)
+    if stoc is None:
+        raise ValueError(
+            "StagedProblem lacks attached stoch data; use solve_smps()/"
+            "attach_stoc() so the sampler can be built")
+    return build_sampler(stoc, sp.rv_order)
+
+
+def attach_stoc(sp: StagedProblem, stoc) -> StagedProblem:
+    sp._stoc = stoc
+    return sp
+
+
+def solve_smps(input_dir: str, prob_name: str, cfg: Optional[SDConfig] = None,
+               log=lambda s: None) -> RunResult:
+    """End-to-end entry: read SMPS triplet, decompose, run (twoSD.c main)."""
+    from stochasticdecomposition_tpu.prob import decompose
+    from stochasticdecomposition_tpu.smps import read_smps
+
+    cfg = cfg or SDConfig()
+    core, tim, stoc = read_smps(input_dir, prob_name)
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    return SDSolver(sp, cfg).run(log=log)

@@ -1,0 +1,108 @@
+"""The STOCH_CHECK oracle as a property test.
+
+Reference: the compile-gated STOCH_CHECK block in formSDCut (cuts.c:64-76)
+re-solves the subproblem for every stored observation and compares against
+the argmax estimate.  Here it is a real test: after N iterations, for every
+stored observation the masked argmax height at the candidate must (a) never
+exceed the true subproblem optimum (cut validity / lower-bound property) and
+(b) match it exactly for observations whose optimal dual is already pooled.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from stochasticdecomposition_tpu.config import SDConfig
+from stochasticdecomposition_tpu.core.cuts import height_table
+from stochasticdecomposition_tpu.core.state import init_state
+from stochasticdecomposition_tpu.core.update import solve_subproblem
+from stochasticdecomposition_tpu.models.instances import load_instance
+from stochasticdecomposition_tpu.models.synthetic import parse_synthetic
+from stochasticdecomposition_tpu.prob import decompose
+from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
+
+
+def _run_steps(name_or_parse, n_steps, cfg=None):
+    if isinstance(name_or_parse, str):
+        core, tim, stoc = load_instance(name_or_parse)
+    else:
+        core, tim, stoc = name_or_parse
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    cfg = cfg or SDConfig(MAX_ITER=n_steps + 10, EVAL_FLAG=False)
+    solver = SDSolver(sp, cfg)
+    state = init_state(solver.pa, solver.caps, cfg, solver.mean_sol,
+                       jax.random.PRNGKey(7))
+    for _ in range(n_steps):
+        state = solver.step(state)
+    return solver, state
+
+
+def _check_heights(solver, state, x):
+    H, s_valid, o_valid = height_table(solver.pa, state, x)
+    Hm = np.where(np.array(s_valid)[:, None], np.array(H), -1e300)
+    hstar = Hm.max(axis=0)
+    ocnt = int(state.omega_cnt)
+    exact = 0
+    for o in range(ocnt):
+        res = solve_subproblem(solver.pa, x, state.omega_vals[o])
+        true_h = float(res.obj)
+        assert hstar[o] <= true_h + 1e-6, \
+            f"argmax height {hstar[o]} exceeds true objective {true_h}"
+        if abs(hstar[o] - true_h) < 1e-7:
+            exact += 1
+    return ocnt, exact
+
+
+@pytest.mark.parametrize("name,steps,min_exact_frac", [
+    ("lands", 40, 1.0), ("pgp2like", 60, 0.8)])
+def test_stoch_check_property(name, steps, min_exact_frac):
+    solver, state = _run_steps(name, steps)
+    ocnt, exact = _check_heights(solver, state, state.candid_x)
+    assert ocnt > 0
+    # On these RHS-random problems the dual vertex pool quickly covers the
+    # support: heights should be (mostly) exact.
+    assert exact >= min_exact_frac * ocnt
+
+
+def test_stoch_check_random_C():
+    parse = parse_synthetic(seed=11, n_rv=2, support=2, rand_C=2)
+    solver, state = _run_steps(parse, 40)
+    ocnt, exact = _check_heights(solver, state, state.candid_x)
+    assert ocnt > 0
+    assert exact >= 1   # at minimum the newest observation is exact
+
+
+def test_cut_is_lower_bound_everywhere():
+    # Validity: each cut's height at arbitrary x must lower-bound the true
+    # expected recourse over stored observations (with the empirical weights),
+    # since every dual vertex is feasible for every observation (RHS case).
+    solver, state = _run_steps("lands", 30)
+    rng = np.random.default_rng(0)
+    k = int(state.k)
+    w = np.array(state.omega_w)[:int(state.omega_cnt)].astype(float)
+    from stochasticdecomposition_tpu.ops.simplex import STATUS_OPTIMAL
+    checked = 0
+    for _ in range(6):
+        x = np.abs(rng.normal(3.0, 1.5, solver.pa.c1.shape[0]))
+        true_h = []
+        feasible = True
+        for o in range(int(state.omega_cnt)):
+            res = solve_subproblem(solver.pa, x.astype(float),
+                                   state.omega_vals[o])
+            if int(res.status) != STATUS_OPTIMAL:
+                feasible = False   # h(x, w) = +inf: bound holds trivially
+                break
+            true_h.append(float(res.obj))
+        if not feasible:
+            continue
+        checked += 1
+        emp = float(w @ np.array(true_h)) / k
+        alpha = np.array(state.cut_alpha)
+        beta = np.array(state.cut_beta)
+        mask = np.array(state.cut_mask)
+        ns = np.array(state.cut_ns)
+        for j in np.where(mask)[0]:
+            height = (ns[j] / k) * (alpha[j] - beta[j] @ x)
+            # (1 - ns/k) * lb term is zero (trivial lb).
+            assert height <= emp + 1e-6
+    assert checked >= 1
