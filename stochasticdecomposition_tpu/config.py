@@ -109,6 +109,11 @@ class SDConfig:
     EVAL_BATCH: int = 512
     # dtype for solver-critical state ("float64" strongly recommended).
     DTYPE: str = "float64"
+    # Explicit lower bound on E[h(x, omega)] overriding the derived one
+    # (the reference computes this in spAlgorithms' calcLowerBound).
+    LOWER_BOUND: float | None = None
+    # Basis pool capacity for the random-cost path (None -> MAX_ITER).
+    MAX_BASES: int | None = None
     # Simplex iteration cap multiplier: max_iters = SIMPLEX_ITER_MULT*(m+n)+64.
     SIMPLEX_ITER_MULT: int = 4
 

@@ -61,6 +61,14 @@ def _argmax_masked(H, s_mask):
     return istar, hstar
 
 
+def _argmax_masked2(H, mask2d):
+    """Masked per-observation argmax with a full [pool, O] mask."""
+    Hm = jnp.where(mask2d, H, _NEG)
+    istar = jnp.argmax(Hm, axis=0).astype(jnp.int32)          # [O]
+    hstar = jnp.max(Hm, axis=0)
+    return istar, hstar
+
+
 def _accumulate(pa: ProblemArrays, state: SDState, istar, o_valid, k):
     """Weighted (alpha, beta) sums over observations (cuts.c:160-168,184-188)."""
     n1 = pa.c1.shape[0]
@@ -91,9 +99,27 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
     """SDCut (cuts.c:91-194): argmax over the vertex pool for every
     observation, weighted cut coefficients, and the dual-stability update.
 
-    Returns (CutParts, state) — state carries the pi_ratio/dual_stable update.
+    With random costs the pool axis is the basis pool and heights carry
+    per-column cost multipliers (randcost.py); otherwise it is the sigma
+    pool directly.  Returns (CutParts, state) — state carries the
+    pi_ratio/dual_stable update.
     """
-    H, s_valid, o_valid = height_table(pa, state, x)
+    has_rand_d = int(pa.rv_d_cols.shape[0]) > 0
+    if has_rand_d:
+        from stochasticdecomposition_tpu.core.randcost import (
+            accumulate_randcost, height_table_randcost,
+        )
+
+        H, pool_mask, o_valid = height_table_randcost(pa, state, x)
+        ck_arr = state.basis_ck
+        accumulate = lambda st, istar, ov, kk: accumulate_randcost(
+            pa, st, istar, ov, kk)
+    else:
+        H, s_valid, o_valid = height_table(pa, state, x)
+        pool_mask = jnp.broadcast_to(s_valid[:, None], H.shape)
+        ck_arr = state.sigma_ck
+        accumulate = lambda st, istar, ov, kk: _accumulate(
+            pa, st, istar, ov, kk)
     kf = jnp.asarray(k, H.dtype)
 
     if dual_stability:
@@ -103,16 +129,16 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
         # 10% holdout split (computeIstar:147-157): "old" vertices were found
         # at ck <= k - (0.1k + 1); "new" ones after.
         ns_eff = k - jnp.floor(0.1 * kf + 1).astype(k.dtype)
-        old_mask = s_valid & (state.sigma_ck <= ns_eff)
-        new_mask = s_valid & (state.sigma_ck > ns_eff)
+        old_mask = pool_mask & (ck_arr <= ns_eff)[:, None]
+        new_mask = pool_mask & (ck_arr > ns_eff)[:, None]
 
-        i_old, h_old = _argmax_masked(H, old_mask)
-        i_new, h_new = _argmax_masked(H, new_mask)
+        i_old, h_old = _argmax_masked2(H, old_mask)
+        i_new, h_new = _argmax_masked2(H, new_mask)
         use_new = h_new > h_old
         istar_split = jnp.where(use_new, i_new, i_old)
         h_split = jnp.maximum(h_old, h_new)
 
-        i_all, h_all = _argmax_masked(H, s_valid)
+        i_all, h_all = _argmax_masked2(H, pool_mask)
         istar = jnp.where(pi_eval, istar_split, i_all)
         hstar = jnp.where(pi_eval, h_split, h_all)
 
@@ -139,9 +165,9 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
         state = state._replace(pi_ratio=pi_ratio, dual_stable=dual_stable,
                                ratio_cnt=ratio_cnt)
     else:
-        istar, hstar = _argmax_masked(H, s_valid)
+        istar, hstar = _argmax_masked2(H, pool_mask)
 
-    alpha, beta = _accumulate(pa, state, istar, o_valid, k)
+    alpha, beta = accumulate(state, istar, o_valid, k)
     found = jnp.all(~o_valid | (hstar > _NEG / 2))
     return CutParts(alpha=alpha, beta=beta, istar=istar, height=hstar,
                     found=found), state

@@ -84,6 +84,25 @@ class SDState(NamedTuple):
     delta_pib: jnp.ndarray      # [L, O]
     delta_piC: jnp.ndarray      # [L, O, nCr]
 
+    # basisType (stoc.h:72-97) — random-cost (v2.0) path; when the problem
+    # has no random costs these are 1-slot placeholders and statically unused.
+    # Layout deviation from the reference: phi columns are indexed by the
+    # d-RV they belong to (mask basis_present) instead of packed arrays.
+    basis_cstat: jnp.ndarray    # [B, n2] int8 column status (dedup + feas)
+    basis_rstat: jnp.ndarray    # [B, m2] int8
+    basis_phi: jnp.ndarray      # [B, nd, m2] dual-basis-inverse rows
+    basis_present: jnp.ndarray  # [B, nd] bool: d-RV n basic in this basis
+    basis_sigma0: jnp.ndarray   # [B] int32 sigma entry of piDet
+    basis_sigma_idx: jnp.ndarray  # [B, nd] int32 sigma entry per phi column
+    basis_pidet: jnp.ndarray    # [B, m2]
+    basis_gbar: jnp.ndarray     # [B, n2] deterministic reduced costs
+    basis_psi: jnp.ndarray      # [B, nd, n2] tableau rows for phi positions
+    basis_mub: jnp.ndarray      # [B]
+    basis_ck: jnp.ndarray       # [B] int32
+    basis_feas: jnp.ndarray     # [B] bool
+    basis_cnt: jnp.ndarray
+    obs_feas: jnp.ndarray       # [B, O] bool: basis dual-feasible at obs
+
     # cutsType (twoSD.h:69-85): fixed slots, masked
     cut_alpha: jnp.ndarray      # [K]
     cut_beta: jnp.ndarray       # [K, n1] (beta over x; eta coeff is implicit)
@@ -121,6 +140,7 @@ class SDState(NamedTuple):
     ratio_cnt: jnp.ndarray      # number of ratio entries written
 
     # status
+    last_o_idx: jnp.ndarray     # int32: omega index of the current iteration
     sp_feas: jnp.ndarray        # bool: last subproblem feasible
     opt_mode: jnp.ndarray       # bool: False while resolving infeasibility
     infeas_incumb: jnp.ndarray  # bool
@@ -179,6 +199,7 @@ class Capacities(NamedTuple):
     S: int      # sigma pool
     K: int      # optimality cut slots (maxCuts)
     F: int      # feasibility cut slots
+    B: int      # basis pool (random-cost path; 1 when unused)
     scan: int   # SCAN_LEN
 
 
@@ -190,8 +211,10 @@ def derive_capacities(sp: StagedProblem, cfg: SDConfig) -> Capacities:
     O = cfg.MAX_OMEGA or (cfg.MAX_ITER * max(1, cfg.SAMPLE_INCREMENT) + 1)
     L = cfg.MAX_LAMBDA or cap
     S = cfg.MAX_SIGMA or cap
+    B = (cfg.MAX_BASES or (cfg.MAX_ITER + cfg.MAX_ITER // cfg.TAU + 1)) \
+        if sp.rv.nd > 0 else 1
     return Capacities(O=O, L=L, S=S, K=cfg.max_cuts(n1),
-                      F=cfg.max_cuts(n1), scan=cfg.SCAN_LEN)
+                      F=cfg.max_cuts(n1), B=B, scan=cfg.SCAN_LEN)
 
 
 def init_state(pa: ProblemArrays, caps: Capacities, cfg: SDConfig,
@@ -203,7 +226,12 @@ def init_state(pa: ProblemArrays, caps: Capacities, cfg: SDConfig,
     nlr = pa.lambda_rows.shape[0]
     nCc = pa.C_cols.shape[0]
     nCr = pa.C_cols_rand.shape[0] if pa.C_cols_rand.shape[0] else 1
-    O, L, S, K, F = caps.O, caps.L, caps.S, caps.K, caps.F
+    O, L, S, K, F, B = caps.O, caps.L, caps.S, caps.K, caps.F, caps.B
+    # Basis-pool inner dims collapse to 1 when there are no random costs.
+    has_rand_d = int(pa.rv_d_cols.shape[0]) > 0
+    ndb = int(pa.rv_d_cols.shape[0]) if has_rand_d else 1
+    m2b = int(pa.D.shape[0]) if has_rand_d else 1
+    n2b = int(pa.D.shape[1]) if has_rand_d else 1
 
     x0 = jnp.asarray(x0, dtype)
     candid_est = pa.lb + pa.c1 @ x0    # setup.c:102
@@ -225,6 +253,20 @@ def init_state(pa: ProblemArrays, caps: Capacities, cfg: SDConfig,
         sigma_cnt=jnp.int32(0),
         delta_pib=jnp.zeros((L, O), dtype),
         delta_piC=jnp.zeros((L, O, nCr), dtype),
+        basis_cstat=jnp.zeros((B, n2b), jnp.int8),
+        basis_rstat=jnp.zeros((B, m2b), jnp.int8),
+        basis_phi=jnp.zeros((B, ndb, m2b), dtype),
+        basis_present=jnp.zeros((B, ndb), bool),
+        basis_sigma0=jnp.zeros(B, jnp.int32),
+        basis_sigma_idx=jnp.zeros((B, ndb), jnp.int32),
+        basis_pidet=jnp.zeros((B, m2b), dtype),
+        basis_gbar=jnp.zeros((B, n2b), dtype),
+        basis_psi=jnp.zeros((B, ndb, n2b), dtype),
+        basis_mub=jnp.zeros(B, dtype),
+        basis_ck=jnp.zeros(B, jnp.int32),
+        basis_feas=jnp.zeros(B, bool),
+        basis_cnt=jnp.int32(0),
+        obs_feas=jnp.zeros((B, O if has_rand_d else 1), bool),
         cut_alpha=jnp.zeros(K, dtype),
         cut_beta=jnp.zeros((K, n1), dtype),
         cut_ns=jnp.zeros(K, jnp.int32),
@@ -254,6 +296,7 @@ def init_state(pa: ProblemArrays, caps: Capacities, cfg: SDConfig,
         pi_ratio=jnp.zeros(caps.scan, dtype),
         dual_stable=jnp.bool_(not cfg.DUAL_STABILITY),
         ratio_cnt=jnp.int32(0),
+        last_o_idx=jnp.int32(0),
         sp_feas=jnp.bool_(True),
         opt_mode=jnp.bool_(True),
         infeas_incumb=jnp.bool_(False),

@@ -31,6 +31,40 @@ from stochasticdecomposition_tpu.ops.simplex import STATUS_OPTIMAL
 from stochasticdecomposition_tpu.sampler import SamplerSpec, sample_omega
 
 
+def make_substeps(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig):
+    """Jitted sub-pieces used by the host feasibility-mode loop
+    (resolveInfeasibility, cuts.c:402-449): a subproblem-solve-plus-updates
+    step at the current candidate, and a master-only solve."""
+    tol = cfg.TOLERANCE
+    dtype = pa.c1.dtype
+
+    def subprob_update(state: SDState) -> SDState:
+        res = solve_subproblem(pa, state.candid_x,
+                               state.omega_vals[state.last_o_idx])
+        sp_feas = res.status == STATUS_OPTIMAL
+        state = state._replace(lp_cnt=state.lp_cnt + 1, sp_feas=sp_feas)
+        state, _ = stochastic_updates(pa, state, res, state.last_o_idx,
+                                      jnp.bool_(False), state.k, tol)
+        return state
+
+    def master_step(state: SDState) -> SDState:
+        res = build_and_solve_master(pa, state, state.k)
+        candid_est = pa.c1 @ res.x + max_cut_height(pa, state, res.x, state.k)
+        return state._replace(
+            candid_x=res.x, candid_est=candid_est,
+            gamma=candid_est - state.incumb_est,
+            norm_dk=res.d_norm2,
+            pi_first=res.pi_first, pi_cuts=res.pi_cuts,
+            dj_master=res.dj, eta=res.eta,
+            master_ok=state.master_ok & res.ok)
+
+    import jax as _jax
+    return {
+        "subprob_update": _jax.jit(subprob_update),
+        "master_step": _jax.jit(master_step),
+    }
+
+
 def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
               *, jit: bool = True):
     """Build the jitted SD iteration for a staged problem."""
@@ -101,12 +135,13 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
     def step(state: SDState) -> SDState:
         k = state.k + 1
         key, k_draw = jax.random.split(state.key)
-        state = state._replace(k=k, key=key)
+        state = state._replace(k=k, key=key, sp_feas=jnp.bool_(True))
 
         # 2. generateOmega + mean-centering + dedup (algo.c:145-152).
         w_raw = sample_omega(spec, k_draw, 1, dtype=dtype)[0]
         w = w_raw - pa.omega_mean
         state, o_idx, new_o = calc_omega(state, w, tol)
+        state = state._replace(last_o_idx=o_idx)
 
         # 3. candidate cut (algo.c:155).
         state, cand_slot = _form_sd_cut(

@@ -35,9 +35,17 @@ def make_full_test(pa: ProblemArrays, cfg: SDConfig, max_iter: int):
     tol = cfg.TOLERANCE
     reps = cfg.BOOTSTRAP_REP
 
+    has_rand_d = int(pa.rv_d_cols.shape[0]) > 0
+
     def _reform_cuts(state: SDState, counts):
         """reformCuts (optimal.c:187-236) for every cut under resampled
         observation counts; returns (alpha', beta') [K], [K, n1]."""
+        if has_rand_d:
+            from stochasticdecomposition_tpu.core.randcost import (
+                reform_cuts_randcost,
+            )
+
+            return reform_cuts_randcost(pa, state, counts)
         K, O = state.cut_istar.shape
         n1 = pa.c1.shape[0]
         kf = jnp.asarray(state.k, dtype)

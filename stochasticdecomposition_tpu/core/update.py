@@ -179,8 +179,18 @@ def calc_sigma(pa: ProblemArrays, state: SDState, pi, mub_bar, lidx,
 def stochastic_updates(pa: ProblemArrays, state: SDState, res, o_idx, new_o,
                        k, tol: float):
     """Full update pass for one subproblem dual (stochasticUpdates,
-    stocUpdate.c:14-133, plain path — random-cost basis machinery is layered
-    in randcost.py).  Returns (state, sigma_idx)."""
+    stocUpdate.c:14-133).  Dispatches to the random-cost basis machinery
+    (randcost.py) when the problem has random cost coefficients.
+    Returns (state, sigma_idx)."""
+    if int(pa.rv_d_cols.shape[0]) > 0:
+        from stochasticdecomposition_tpu.core.randcost import (
+            stochastic_updates_randcost,
+        )
+
+        state = stochastic_updates_randcost(pa, state, res, o_idx, new_o,
+                                            k, tol)
+        return state, jnp.int32(0)
+
     # New observation -> new delta column against all lambdas (must run before
     # the new lambda row fill, mirroring stocUpdate.c:24-31).
     state = lax.cond(new_o, lambda s: delta_new_omega_column(pa, s, o_idx),
@@ -191,7 +201,16 @@ def stochastic_updates(pa: ProblemArrays, state: SDState, res, o_idx, new_o,
     # pools with feasFlag=false (stocUpdate.c:66-75): it feeds feasibility
     # cuts but is masked out of the optimality argmax.
     pi = jnp.where(feas, res.pi, res.farkas)
-    mub = jnp.where(feas, compute_mu(res), 0.0)
+    # Ray bound correction: infeasibility of rhs r is certified by
+    #   ray'r > sup_{l<=y<=u} ray'Dy = sum_j u_j max(ray'D_j,0)+l_j min(.,0),
+    # so the feasibility cut's constant absorbs -sup (the ray analog of the
+    # mubBar term computeMU adds for optimal bases, stocUpdate.c:351-387).
+    rd = res.farkas @ pa.D
+    u_fin = jnp.where(jnp.isfinite(pa.u2), pa.u2, 0.0)
+    l_fin = jnp.where(jnp.isfinite(pa.l2), pa.l2, 0.0)
+    mub_ray = -jnp.sum(u_fin * jnp.maximum(rd, 0.0) +
+                       l_fin * jnp.minimum(rd, 0.0))
+    mub = jnp.where(feas, compute_mu(res), mub_ray)
 
     state, lidx, new_lam = calc_lambda(pa, state, pi, tol)
     state, sidx, _ = calc_sigma(pa, state, pi, mub, lidx, new_lam, feas, k, tol)

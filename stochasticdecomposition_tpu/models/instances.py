@@ -165,9 +165,51 @@ INDEP         DISCRETE
 ENDATA
 """
 
+# An instance WITHOUT complete recourse: the subproblem
+#   min y  s.t.  y <= x1  (CAPY),  y + x2 >= d(w)  (DEMY)
+# is infeasible whenever x1 + x2 < d(w) — exercising the induced-feasibility
+# cut machinery (cuts.c:398-567).  The implied feasibility cut is
+# x1 + x2 >= max_w d(w) = 6.
+_FEAS_CORE = """NAME          FEASTEST
+ROWS
+ N  OBJ
+ G  MINX
+ L  CAPY
+ G  DEMY
+COLUMNS
+    X1        OBJ       1.5    MINX      1.0
+    X1        CAPY      -1.0
+    X2        OBJ       1.0    MINX      1.0
+    X2        DEMY      1.0
+    Y1        OBJ       1.0    CAPY      1.0
+    Y1        DEMY      1.0
+RHS
+    RHS       MINX      2.0    DEMY      4.0
+BOUNDS
+ UP BND       X1        10.0
+ UP BND       X2        10.0
+ENDATA
+"""
+
+_FEAS_TIME = """TIME          FEASTEST
+PERIODS       IMPLICIT
+    X1        MINX      STAGE1
+    Y1        CAPY      STAGE2
+ENDATA
+"""
+
+_FEAS_STOC = """STOCH         FEASTEST
+INDEP         DISCRETE
+    RHS       DEMY      2.0    STAGE2    0.3
+    RHS       DEMY      4.0    STAGE2    0.4
+    RHS       DEMY      6.0    STAGE2    0.3
+ENDATA
+"""
+
 INSTANCES = {
     "lands": (_LANDS_CORE, _LANDS_TIME, _LANDS_STOC),
     "pgp2like": (_PGP2LIKE_CORE, _PGP2LIKE_TIME, _PGP2LIKE_STOC),
+    "feastest": (_FEAS_CORE, _FEAS_TIME, _FEAS_STOC),
 }
 
 

@@ -13,7 +13,7 @@ import numpy as np
 
 def random_two_stage(seed: int = 0, n1: int = 4, m1: int = 2, n2: int = 8,
                      m2: int = 5, n_rv: int = 3, support: int = 3,
-                     rand_C: int = 0):
+                     rand_C: int = 0, rand_d: int = 0):
     """Build SMPS text for a random feasible instance; returns (cor, tim, sto).
 
     Structure: first stage  min c'x s.t. sum x >= r, x <= u (via rows);
@@ -94,6 +94,20 @@ def random_two_stage(seed: int = 0, n1: int = 4, m1: int = 2, n2: int = 8,
         for v, p in zip(vals, probs):
             sto_lines.append(
                 f"    X{j}       R2_{i}     {v}    STAGE2    {p}")
+    # Random cost coefficients (v2.0 path): keep supports positive so the
+    # TRIVIAL lower bound stays valid.
+    dcols = rng.choice(n2, size=min(rand_d, n2), replace=False)
+    for j in dcols:
+        base = d2[j]
+        vals = np.sort(np.maximum(
+            base + rng.uniform(-0.5 * base, 0.8 * base, support), 0.05
+        ).round(3))
+        probs = np.full(support, 1.0 / support).round(6)
+        probs[-1] = round(1.0 - probs[:-1].sum(), 6)
+        for v, p in zip(vals, probs):
+            sto_lines.append(
+                f"    Y{j}       OBJ       {v}    STAGE2    {p}")
+
     sto = "\n".join(sto_lines + ["ENDATA", ""])
     return cor, tim, sto
 

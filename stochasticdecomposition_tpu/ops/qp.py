@@ -36,7 +36,7 @@ class QPResult(NamedTuple):
 
 
 def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
-             ineq_mask=None, eq_mask=None) -> QPResult:
+             ineq_mask=None, eq_mask=None, polish: bool = True) -> QPResult:
     """Solve the convex QP. All shapes static; empty A/G allowed (0 rows).
 
     ``ineq_mask``/``eq_mask`` optionally disable padded rows (True = active):
@@ -138,12 +138,26 @@ def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
         cond, body, (v0, y0, z0, s0, jnp.int32(0), jnp.bool_(False),
                      jnp.asarray(jnp.inf, dtype)))
 
+    # Soft acceptance: if the strict tolerance was not reached within the
+    # iteration cap (possible under TPU f64 emulation), accept a KKT point at
+    # 1e-6 accuracy — far tighter than the algorithmic tolerances consuming
+    # these solutions (config.sd TOLERANCE is 1e-3).
+    soft = 1e-6
+    rd_f = Q @ v + c + (A.T @ y if me else 0.0) + G.T @ z
+    rg_f = (G @ v + s - h) if mi else jnp.zeros(0, dtype)
+    rp_f = (A @ v - b) if me else jnp.zeros(0, dtype)
+    mu_f = (jnp.dot(s, z) / mi) if mi else jnp.asarray(0.0, dtype)
+    res_f = jnp.max(jnp.concatenate([
+        jnp.abs(rd_f), jnp.abs(rg_f), jnp.abs(rp_f),
+        jnp.zeros(1, dtype)]))
+    done = done | ((res_f < soft) & (mu_f < soft))
+
     # ---- active-set polish ("crossover-lite") ---------------------------
     # IPM iterates land O(sqrt(mu)) away from degenerate vertices; the
     # reference's CPLEX returns exact basic solutions.  Re-solve the KKT
     # equalities on the identified active set and keep the polished point if
     # it satisfies the full KKT system.
-    if mi:
+    if mi and polish:
         slack = h - G @ v
         active = z > slack                      # strongly-active classifier
         act = active.astype(dtype)

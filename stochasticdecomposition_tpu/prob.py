@@ -206,7 +206,11 @@ def decompose(core: CoreProblem, tim: TimeData, stoc: StocData) -> StagedProblem
         C_cols=C_cols.astype(np.int32),
     )
 
-    lb, trivial = _calc_lower_bound(second, rv)
+    # Minimum possible cost per second-stage column (for the lower bound).
+    d_min = second.d_bar.copy()
+    for kk, i in enumerate(d_elems):
+        d_min[rv_d_cols[kk]] = _dist_min(stoc, i)
+    lb, trivial = _calc_lower_bound(second, rv, d_min)
 
     return StagedProblem(
         name=core.name, first=first, second=second, rv=rv,
@@ -214,31 +218,44 @@ def decompose(core: CoreProblem, tim: TimeData, stoc: StocData) -> StagedProblem
     )
 
 
-def _calc_lower_bound(second: SecondStage, rv: RVCoords):
+def _dist_min(stoc: StocData, elem_idx: int) -> float:
+    """Minimum possible value of a random element (support lower edge)."""
+    from stochasticdecomposition_tpu.smps.stoc import (
+        DIST_BLOCK, DIST_DISCRETE, DIST_NORMAL, DIST_UNIFORM,
+    )
+
+    el = stoc.elements[elem_idx]
+    if el.dist == DIST_DISCRETE:
+        return float(np.min(el.values))
+    if el.dist == DIST_UNIFORM:
+        return el.p1
+    if el.dist == DIST_NORMAL:
+        return el.p1 - 10.0 * np.sqrt(max(el.p2, 0.0))
+    if el.dist == DIST_BLOCK:
+        blk = stoc.blocks[el.block_id]
+        pos = blk.elem_indices.index(elem_idx)
+        return float(np.min(blk.outcomes[:, pos]))
+    raise ValueError(el.dist)
+
+
+def _calc_lower_bound(second: SecondStage, rv: RVCoords, d_min: np.ndarray):
     """Lower bound on h(x, omega) over all x, omega (calcLowerBound equiv).
 
-    If the subproblem cost is deterministic, nonnegative, and y >= 0, then
-    h >= 0 and the TRIVIAL bound applies — which covers the classical
-    benchmark family.  Otherwise returns a loose finite bound of 0 shifted
-    down is NOT valid, so we refuse and require the user to supply one (the
-    reference computes its bound inside spAlgorithms; a config override hook
-    lives in runner.py).
+    If the worst-case subproblem cost d_min is nonnegative and y >= 0 then
+    h >= 0 (TRIVIAL) — this covers the classical benchmark family.
+    Otherwise weak duality with pi = 0 gives
+        h(x, w) >= sum_j min(0, d_min_j) * u_j
+    over finite boxes, which requires negative-cost columns to be bounded
+    above; else the user must supply SDConfig.LOWER_BOUND.
     """
-    if rv.nd == 0 and np.all(second.d_bar >= 0) and np.all(second.lb >= 0):
+    if np.all(d_min >= 0) and np.all(second.lb >= 0):
         return 0.0, True
-    # Random or negative costs: conservative fallback via weak duality with
-    # pi = 0:  h(x, w) >= sum_j min(0, d_j(w)) * u_j  over finite boxes.
-    d_lo = second.d_bar.copy()
-    if rv.nd:
-        # widen by the support of the d-block randomness (centered values can
-        # be negative); exact ranges are added when the randCost path lands.
-        d_lo = d_lo - np.abs(d_lo) - 1.0
     ub = np.where(np.isfinite(second.ub), second.ub, 0.0)
-    lo_contrib = np.minimum(0.0, d_lo) * ub
-    neg_free = (d_lo < 0) & ~np.isfinite(second.ub)
+    lo_contrib = np.minimum(0.0, d_min) * ub
+    neg_free = (d_min < 0) & ~np.isfinite(second.ub)
     if np.any(neg_free):
         raise ValueError(
             "cannot derive a finite lower bound for a subproblem with "
-            "negative-cost unbounded variables; supply one explicitly")
+            "negative-cost unbounded variables; set SDConfig.LOWER_BOUND")
     lb = float(np.sum(lo_contrib))
     return lb, lb == 0.0

@@ -23,7 +23,11 @@ from stochasticdecomposition_tpu.core.evaluate import (
 from stochasticdecomposition_tpu.core.state import (
     Capacities, derive_capacities, init_state, stage_problem,
 )
-from stochasticdecomposition_tpu.core.step import make_step
+from stochasticdecomposition_tpu.core.compromise import (
+    batch_entry_from_state, solve_compromise,
+)
+from stochasticdecomposition_tpu.core.feasibility import resolve_infeasibility
+from stochasticdecomposition_tpu.core.step import make_step, make_substeps
 from stochasticdecomposition_tpu.core.stopping import make_full_test, pre_test
 from stochasticdecomposition_tpu.ops.simplex import STATUS_OPTIMAL, solve_lp
 from stochasticdecomposition_tpu.prob import StagedProblem
@@ -45,6 +49,8 @@ class ReplicationResult:
     eval: Optional[EvalResult] = None
     quad_scalar: float = 0.0
     cuts_active: int = 0
+    feas_rounds: int = 0
+    batch_entry: Optional[object] = None   # compromise artifacts
 
 
 @dataclasses.dataclass
@@ -91,10 +97,14 @@ class SDSolver:
     def __init__(self, sp: StagedProblem, cfg: SDConfig, dtype=jnp.float64):
         self.sp = sp
         self.cfg = cfg
+        if cfg.LOWER_BOUND is not None:
+            sp.lb = float(cfg.LOWER_BOUND)
+            sp.lb_is_trivial = sp.lb == 0.0
         self.pa = stage_problem(sp, dtype)
         self.spec = build_sampler_from(sp)
         self.caps = derive_capacities(sp, cfg)
         self.step = make_step(self.pa, self.spec, cfg)
+        self.substeps = make_substeps(self.pa, self.spec, cfg)
         self.full_test = make_full_test(self.pa, cfg, cfg.MAX_ITER)
         self.eval_batch_fn = None
         self.mean_sol = mean_value_solution(sp, dtype)
@@ -107,6 +117,7 @@ class SDSolver:
         key, eval_key = jax.random.split(key)
         state = init_state(self.pa, self.caps, cfg, self.mean_sol, key)
         t_setup = time.monotonic() - t0
+        pool_alpha, pool_beta = [], []   # host-side feasibility cut pool
 
         optimal = False
         while int(state.k) < cfg.MAX_ITER:
@@ -124,9 +135,11 @@ class SDSolver:
                     log(".")
             state = self.step(state)
             if not bool(state.sp_feas):
-                raise NotImplementedError(
-                    "subproblem infeasible: feasibility-cut mode is not wired "
-                    "into the runner yet (cuts.c:402-449 equivalent)")
+                # Feasibility mode (resolveInfeasibility, cuts.c:402-449).
+                log("F")
+                state, pool_alpha, pool_beta = resolve_infeasibility(
+                    self.pa, state, cfg, self.substeps,
+                    pool_alpha, pool_beta)
             if not bool(state.master_ok):
                 raise RuntimeError(f"master QP failed to converge at k={k+1}")
             if k % 100 == 0:
@@ -149,6 +162,8 @@ class SDSolver:
             time_setup=t_setup,
             quad_scalar=float(state.quad_scalar),
             cuts_active=int(jnp.sum(state.cut_mask)),
+            feas_rounds=int(state.feas_cnt),
+            batch_entry=batch_entry_from_state(state),
         )
 
     def evaluate_x(self, x, rep: int = 0) -> EvalResult:
@@ -160,7 +175,8 @@ class SDSolver:
                         eval_batch_fn=self.eval_batch_fn)
 
     def run(self, log=lambda s: None) -> RunResult:
-        """Full multi-replication run (algo.c:36-96, compromise aside)."""
+        """Full multi-replication run with the compromise epilogue
+        (algo.c:36-96)."""
         cfg = self.cfg
         reps = []
         for rep in range(cfg.MULTIPLE_REP):
@@ -168,7 +184,17 @@ class SDSolver:
             if cfg.EVAL_FLAG:
                 r.eval = self.evaluate_x(r.incumb_x, rep)
             reps.append(r)
-        return RunResult(problem=self.sp.name, replications=reps)
+        result = RunResult(problem=self.sp.name, replications=reps)
+
+        if cfg.COMPROMISE_PROB and len(reps) > 1:
+            entries = [r.batch_entry for r in reps]
+            cx, ax = solve_compromise(self.pa, cfg, entries)
+            result.compromise_x = cx
+            result.average_x = ax
+            if cfg.EVAL_FLAG:
+                result.compromise_eval = self.evaluate_x(cx, 0)
+                result.average_eval = self.evaluate_x(ax, 0)
+        return result
 
 
 def build_sampler_from(sp: StagedProblem):
