@@ -148,16 +148,21 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
         ratio = cumm_old / jnp.where(cumm_all == 0.0, 1.0, cumm_all)
         ratio = jnp.where(cumm_all == 0.0, 1.0, ratio)
 
-        slot = jnp.mod(k, scan_len)
+        # Rolling window indexed by the number of ratios written.  For the
+        # reference configuration (one sample per iteration, PI_CYCLE=1) this
+        # coincides with the k % SCAN_LEN slot of cuts.c:172; in batched-
+        # sampling mode the window is a step count, so the caller passes a
+        # batch-scaled scan_len.
+        slot = jnp.mod(state.ratio_cnt, scan_len)
         pi_ratio = jnp.where(pi_eval, state.pi_ratio.at[slot].set(ratio),
                              state.pi_ratio)
         ratio_cnt = jnp.where(pi_eval, state.ratio_cnt + 1, state.ratio_cnt)
 
-        # variance over the SCAN_LEN window (calcVariance, cuts.c:366-396);
-        # only meaningful once the window has wrapped (cuts.c:173-176).
-        mean = jnp.mean(pi_ratio)
-        var = jnp.var(pi_ratio) * scan_len / (scan_len - 1)
-        have_window = (k - pi_eval_start) > scan_len
+        # variance over the window (calcVariance, cuts.c:366-396); only
+        # meaningful once the window has fully wrapped (cuts.c:173-176).
+        window = pi_ratio[:scan_len]
+        var = jnp.var(window) * scan_len / (scan_len - 1)
+        have_window = ratio_cnt > scan_len
         variance = jnp.where(have_window, var, 1.0)
 
         stable = ~((jnp.abs(variance) >= 2e-6) | (ratio < 0.95))

@@ -206,9 +206,9 @@ class Capacities(NamedTuple):
 def derive_capacities(sp: StagedProblem, cfg: SDConfig) -> Capacities:
     n1 = sp.first.A.shape[1]
     cap = cfg.pool_capacity(sp.rv.nd)
-    # Observation draws per run bounds the omega pool; lambda/sigma grow at
-    # most one entry per subproblem solve (candidate + incumbent per TAU).
-    O = cfg.MAX_OMEGA or (cfg.MAX_ITER * max(1, cfg.SAMPLE_INCREMENT) + 1)
+    # k counts samples (matching the reference's iteration==sample), so at
+    # most MAX_ITER observations are ever drawn regardless of batching.
+    O = cfg.MAX_OMEGA or (cfg.MAX_ITER + max(1, cfg.SAMPLE_INCREMENT))
     L = cfg.MAX_LAMBDA or cap
     S = cfg.MAX_SIGMA or cap
     B = (cfg.MAX_BASES or (cfg.MAX_ITER + cfg.MAX_ITER // cfg.TAU + 1)) \

@@ -85,7 +85,7 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
             dual_stability=cfg.DUAL_STABILITY,
             pi_eval_start=cfg.PI_EVAL_START,
             pi_cycle=cfg.PI_CYCLE,
-            scan_len=cfg.SCAN_LEN)
+            scan_len=eff_scan)
         state, slot = add_cut(pa, state, parts, k, incumbent=incumbent,
                               tol=tol)
         return state, slot
@@ -132,27 +132,74 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
 
         return lax.cond(improved, _replace, _shrink, state)
 
+    batch = max(1, int(cfg.SAMPLE_INCREMENT))
+    # One pi_ratio entry is written per *step*; with batched sampling the
+    # SCAN_LEN sample window corresponds to SCAN_LEN/batch steps.
+    eff_scan = max(cfg.SCAN_LEN // batch, 16) if batch > 1 else cfg.SCAN_LEN
+
     def step(state: SDState) -> SDState:
-        k = state.k + 1
+        k = state.k + batch
         key, k_draw = jax.random.split(state.key)
         state = state._replace(k=k, key=key, sp_feas=jnp.bool_(True))
 
         # 2. generateOmega + mean-centering + dedup (algo.c:145-152).
-        w_raw = sample_omega(spec, k_draw, 1, dtype=dtype)[0]
-        w = w_raw - pa.omega_mean
-        state, o_idx, new_o = calc_omega(state, w, tol)
-        state = state._replace(last_o_idx=o_idx)
+        # Batched-sampling mode (SAMPLE_INCREMENT > 1): k advances by the
+        # batch size; all B fresh observations are deduped, their subproblems
+        # solved as one vmapped batch, and their duals pooled sequentially —
+        # one SD cut then covers the enlarged sample (the TPU inversion of
+        # the reference's one-LP-per-iteration economics, SURVEY.md §7).
+        w_raw = sample_omega(spec, k_draw, batch, dtype=dtype)
+        w_batch = w_raw - pa.omega_mean[None, :]
 
-        # 3. candidate cut (algo.c:155).
-        state, cand_slot = _form_sd_cut(
-            state, state.candid_x, o_idx, new_o, k, incumbent=False)
+        if batch == 1:
+            state, o_idx, new_o = calc_omega(state, w_batch[0], tol)
+            state = state._replace(last_o_idx=o_idx)
+            # 3. candidate cut (algo.c:155).
+            state, cand_slot = _form_sd_cut(
+                state, state.candid_x, o_idx, new_o, k, incumbent=False)
+        else:
+            # Dedup sequentially (pool state carries between observations).
+            def dedup_one(s, w_i):
+                s, oi, nf = calc_omega(s, w_i, tol)
+                return s, (oi, nf)
+
+            state, (o_idxs, new_flags) = lax.scan(dedup_one, state, w_batch)
+            state = state._replace(last_o_idx=o_idxs[-1])
+
+            # Solve all B subproblems at the candidate as one vmapped batch.
+            ws = state.omega_vals[o_idxs]
+            res_b = jax.vmap(lambda wi: solve_subproblem(pa, state.candid_x,
+                                                         wi))(ws)
+            all_feas = jnp.all(res_b.status == STATUS_OPTIMAL)
+            state = state._replace(lp_cnt=state.lp_cnt + batch,
+                                   sp_feas=state.sp_feas & all_feas)
+
+            # Pool the duals sequentially (dedup is order-dependent).
+            def upd_one(s, inp):
+                res_i, oi, nf = inp
+                s, _ = stochastic_updates(pa, s, res_i, oi, nf, k, tol)
+                return s, ()
+
+            state, _ = lax.scan(upd_one, state,
+                                (res_b, o_idxs, new_flags))
+
+            parts, state = form_cut(
+                pa, state, state.candid_x, k,
+                dual_stability=cfg.DUAL_STABILITY,
+                pi_eval_start=cfg.PI_EVAL_START,
+                pi_cycle=cfg.PI_CYCLE, scan_len=eff_scan)
+            state, cand_slot = add_cut(pa, state, parts, k,
+                                       incumbent=False, tol=tol)
 
         # 4. incumbent cut every TAU iterations (algo.c:161-166).
-        do_inc = jnp.mod(k - state.i_cut_updt, cfg.TAU) == 0
+        if batch == 1:
+            do_inc = jnp.mod(k - state.i_cut_updt, cfg.TAU) == 0
+        else:
+            do_inc = (k - state.i_cut_updt) >= cfg.TAU
         state = lax.cond(
             do_inc,
-            lambda s: _form_sd_cut(s, s.incumb_x, o_idx, jnp.bool_(False),
-                                   k, incumbent=True)[0],
+            lambda s: _form_sd_cut(s, s.incumb_x, s.last_o_idx,
+                                   jnp.bool_(False), k, incumbent=True)[0],
             lambda s: s, state)
 
         # 5. incumbent improvement check (algo.c:169-171).

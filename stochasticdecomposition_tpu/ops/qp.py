@@ -66,14 +66,21 @@ def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
     eq_reg = 1e-10   # tiny dual regularization keeps padded eq rows nonsingular
 
     def kkt_solve(M, rhs_v, rhs_y):
-        """Solve [[M, A'], [A, -eq_reg I]] [dv, dy] = [rhs_v, rhs_y]."""
+        """Solve [[M, A'], [A, -eq_reg I]] [dv, dy] = [rhs_v, rhs_y] with one
+        iterative-refinement pass (the TPU's emulated-f64 Gauss-Jordan is
+        ~1e-11 accurate; refinement recovers the extra digits the barrier's
+        ill-conditioned late iterations need)."""
         if me == 0:
-            return gj_solve(M, rhs_v), jnp.zeros(0, dtype=dtype)
+            x0 = gj_solve(M, rhs_v)
+            x0 = x0 + gj_solve(M, rhs_v - M @ x0)
+            return x0, jnp.zeros(0, dtype=dtype)
         K = jnp.block([
             [M, A.T],
             [A, -eq_reg * jnp.eye(me, dtype=dtype)],
         ])
-        sol = gj_solve(K, jnp.concatenate([rhs_v, rhs_y]))
+        rhs = jnp.concatenate([rhs_v, rhs_y])
+        sol = gj_solve(K, rhs)
+        sol = sol + gj_solve(K, rhs - K @ sol)
         return sol[:n], sol[n:]
 
     def body(carry):
@@ -89,7 +96,9 @@ def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
                                       jnp.max(jnp.abs(rp)) if me else 0.0))
         converged = (res < tol * 10) & (mu < tol)
 
-        zs = z / s
+        # Clamp the barrier weights: unbounded z/s ratios make the late KKT
+        # systems unsolvable at emulated-f64 accuracy.
+        zs = jnp.clip(z / s, 1e-10, 1e12)
         M = Q + (G.T * zs) @ G + 1e-12 * jnp.eye(n, dtype=dtype)
 
         # --- affine (predictor) step ---
