@@ -25,14 +25,17 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def bench_eval_throughput(solver, batch, rounds=8):
+def bench_eval_throughput(solver, batch, rounds=8, pivot_dtype=None):
     from stochasticdecomposition_tpu.core.evaluate import make_eval_batch
 
-    fn = make_eval_batch(solver.pa, solver.spec, batch)
+    fn = make_eval_batch(solver.pa, solver.spec, batch,
+                         pivot_dtype=pivot_dtype)
     x = jnp.asarray(solver.mean_sol, solver.pa.c1.dtype)
     key = jax.random.PRNGKey(0)
     # warmup/compile
-    jax.block_until_ready(fn(x, key))
+    s0, _, ok0 = fn(x, key)
+    jax.block_until_ready((s0, ok0))
+    mean_obj = float(s0) / max(int(ok0), 1)
     t0 = time.perf_counter()
     n = 0
     for i in range(rounds):
@@ -41,7 +44,38 @@ def bench_eval_throughput(solver, batch, rounds=8):
         n += batch
     jax.block_until_ready((s, sq, ok))
     dt = time.perf_counter() - t0
-    return n / dt
+    return n / dt, mean_obj
+
+
+def scipy_mean_obj(solver, n_solve=50):
+    """Mean subproblem objective via scipy at the mean solution (sanity)."""
+    from scipy.optimize import linprog
+
+    from stochasticdecomposition_tpu.sampler import sample_omega
+
+    pa = solver.pa
+    D = np.asarray(pa.D)
+    sense = np.asarray(pa.sense2)
+    x = np.asarray(solver.mean_sol)
+    w = np.asarray(sample_omega(solver.spec, jax.random.PRNGKey(9), n_solve,
+                                dtype=pa.c1.dtype)) - np.asarray(pa.omega_mean)
+    bounds = list(zip(np.asarray(pa.l2), np.asarray(pa.u2)))
+    ub_rows, ge_rows, eq_rows = sense == -1, sense == 1, sense == 0
+    objs = []
+    for i in range(n_solve):
+        rhs = np.asarray(pa.b_bar) - np.asarray(pa.C_bar) @ x
+        nb = pa.rv_b_rows.shape[0]
+        if nb:
+            rhs[np.asarray(pa.rv_b_rows)] += w[i, :nb]
+        A_ub = np.vstack([D[ub_rows], -D[ge_rows]])
+        b_ub = np.concatenate([rhs[ub_rows], -rhs[ge_rows]])
+        r = linprog(np.asarray(pa.d_bar), A_ub=A_ub if len(A_ub) else None,
+                    b_ub=b_ub if len(b_ub) else None,
+                    A_eq=D[eq_rows] if eq_rows.any() else None,
+                    b_eq=rhs[eq_rows] if eq_rows.any() else None,
+                    bounds=bounds, method="highs")
+        objs.append(r.fun)
+    return float(np.mean(objs))
 
 
 def bench_scipy_throughput(solver, n_solve=200):
@@ -101,16 +135,20 @@ def main():
         enumerate_scenarios, solve_extensive_form,
     )
     from stochasticdecomposition_tpu.models.instances import load_instance
+    from stochasticdecomposition_tpu.models.synthetic import parse_synthetic
     from stochasticdecomposition_tpu.prob import decompose
     from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
 
+    # ---- small classical-scale instance: full algorithm + parity --------
     core, tim, stoc = load_instance("pgp2like")
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     cfg = SDConfig(MAX_ITER=400, EVAL_FLAG=False)
     solver = SDSolver(sp, cfg)
 
     batch = 512
-    tpu_rate = bench_eval_throughput(solver, batch)
+    tpu_rate, _ = bench_eval_throughput(solver, batch)
+    tpu_rate_f32, _ = bench_eval_throughput(solver, batch,
+                                            pivot_dtype=jnp.float32)
     cpu_rate = bench_scipy_throughput(solver, n_solve=100)
     iters_per_sec, _ = bench_sd_iterations(solver, cfg, n_iter=40)
 
@@ -121,12 +159,30 @@ def main():
     ev = solver.evaluate_x(r.incumb_x)
     parity_gap = abs(ev.mean - ef_obj) / abs(ef_obj)
 
+    # ---- storm-scale synthetic: batched LP throughput where it counts ---
+    core2, tim2, stoc2 = parse_synthetic(seed=7, n1=40, m1=4, n2=400, m2=180,
+                                         n_rv=20, support=5)
+    sp2 = attach_stoc(decompose(core2, tim2, stoc2), stoc2)
+    cfg2 = SDConfig(MAX_ITER=100, EVAL_FLAG=False)
+    solver2 = SDSolver(sp2, cfg2)
+    big_batch = 128
+    big_rate_f32, big_mean_f32 = bench_eval_throughput(
+        solver2, big_batch, rounds=2, pivot_dtype=jnp.float32)
+    big_cpu_rate = bench_scipy_throughput(solver2, n_solve=20)
+    big_mean_cpu = scipy_mean_obj(solver2, n_solve=20)
+    f32_obj_err = abs(big_mean_f32 - big_mean_cpu) / max(abs(big_mean_cpu), 1)
+
     print(json.dumps({
-        "metric": "batched_subproblem_lp_throughput",
-        "value": round(tpu_rate, 2),
-        "unit": "LP solves/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 3),
-        "cpu_scipy_lp_per_s": round(cpu_rate, 2),
+        "metric": "batched_subproblem_lp_throughput_large",
+        "value": round(big_rate_f32, 2),
+        "unit": "LP solves/s (180x580 LPs, f32 pivot + f64 cleanup)",
+        "vs_baseline": round(big_rate_f32 / big_cpu_rate, 3),
+        "large_cpu_scipy_lp_per_s": round(big_cpu_rate, 2),
+        "large_f32_vs_cpu_obj_relerr": round(f32_obj_err, 6),
+        "small_tpu_lp_per_s_f64": round(tpu_rate, 2),
+        "small_tpu_lp_per_s_f32pivot": round(tpu_rate_f32, 2),
+        "small_cpu_scipy_lp_per_s": round(cpu_rate, 2),
+        "small_vs_baseline": round(tpu_rate / cpu_rate, 3),
         "sd_iters_per_s": round(iters_per_sec, 2),
         "sd_iterations_to_stop": r.iterations,
         "objective_parity_gap": round(parity_gap, 6),

@@ -107,6 +107,9 @@ class SDConfig:
     MAX_SIGMA: int | None = None
     # Observation batch size for the out-of-sample evaluator.
     EVAL_BATCH: int = 512
+    # Run the evaluator's simplex pivot loop in float32 (MXU path on TPU)
+    # with float64 final-basis cleanup; statistical accuracy is unaffected.
+    EVAL_F32_PIVOT: bool = False
     # dtype for solver-critical state ("float64" strongly recommended).
     DTYPE: str = "float64"
     # Explicit lower bound on E[h(x, omega)] overriding the derived one

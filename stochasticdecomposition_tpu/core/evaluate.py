@@ -32,8 +32,11 @@ class EvalResult(NamedTuple):
 
 
 def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
-                    in_shard_fn=None):
-    """Jitted: (x, key) -> (sum, sumsq, n_ok) over one observation batch."""
+                    pivot_dtype=None):
+    """Jitted: (x, key) -> (sum, sumsq, n_ok) over one observation batch.
+
+    ``pivot_dtype=jnp.float32`` runs the simplex pivot loops on the MXU with
+    f64 final cleanup (cfg.EVAL_F32_PIVOT)."""
 
     def eval_batch(x, key):
         dtype = pa.c1.dtype
@@ -42,7 +45,8 @@ def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
 
         def solve_one(wi):
             rhs, cost = subproblem_rhs_cost(pa, x, wi)
-            res = solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs)
+            res = solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs,
+                           pivot_dtype=pivot_dtype)
             return res.obj, res.status == STATUS_OPTIMAL
 
         objs, ok = jax.vmap(solve_one)(w)

@@ -130,13 +130,29 @@ def _compute_xb(sf: StandardForm, binv, basis, xn_full):
 
 
 def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
-             refac_every: int = 64, stall_limit: int = 24) -> LPResult:
+             refac_every: int = 64, stall_limit: int = 24,
+             pivot_dtype=None) -> LPResult:
     """Solve  min d'y  s.t.  D y {sense} b,  l <= y <= u.
 
     Pure function of static-shape arrays — jit/vmap friendly.  ``max_iter=0``
     derives a cap of 4*(m+n)+64.
+
+    ``pivot_dtype``: run the pivoting loop in a cheaper dtype (float32 hits
+    the MXU on TPU instead of emulated f64) while the final basis
+    refactorization, duals and reduced costs are computed in the input dtype.
+    Pivot decisions are discrete, so for well-scaled problems the chosen
+    basis matches; use for the statistical evaluation path where a rare
+    slightly-suboptimal basis is tolerable.
     """
-    dtype = jnp.result_type(D.dtype, jnp.float32)
+    out_dtype = jnp.result_type(D.dtype, jnp.float32)
+    dtype = jnp.dtype(pivot_dtype) if pivot_dtype is not None else out_dtype
+    if pivot_dtype is not None and tol < 1e-6 and dtype == jnp.float32:
+        tol = 1e-5
+    D64 = D.astype(out_dtype)
+    d64 = d.astype(out_dtype)
+    l64 = l.astype(out_dtype)
+    u64 = u.astype(out_dtype)
+    b64 = b.astype(out_dtype)
     D = D.astype(dtype)
     d = d.astype(dtype)
     l = l.astype(dtype)
@@ -346,12 +362,23 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
 
     status = jnp.where(final.done, final.status, jnp.int32(STATUS_ITER_LIMIT))
 
-    # ---- clean final quantities (refactorized) --------------------------
-    binv = _refactorize(sf, final.basis)
-    xn_full = _nonbasic_values(sf, final.at_upper, final.in_basis)
-    xb = _compute_xb(sf, binv, final.basis, xn_full)
+    # ---- clean final quantities (refactorized, in the OUTPUT dtype) -----
+    A64 = jnp.concatenate([D64, jnp.eye(m, dtype=out_dtype)], axis=1)
+    lo64 = jnp.concatenate(
+        [l64, jnp.where(sense > 0, -_BIG, 0.0).astype(out_dtype)])
+    up64 = jnp.concatenate(
+        [u64, jnp.where(sense < 0, _BIG, 0.0).astype(out_dtype)])
+    c64 = jnp.concatenate([d64, jnp.zeros(m, dtype=out_dtype)])
+    sf64 = StandardForm(A=A64, b=b64, c=c64, lo=lo64, up=up64, n=n)
+
+    binv = _refactorize(sf64, final.basis)
+    xn_full = _nonbasic_values(sf64, final.at_upper, final.in_basis)
+    xb = _compute_xb(sf64, binv, final.basis, xn_full)
     x_full = xn_full.at[final.basis].set(xb)
 
+    c = c64
+    A = A64
+    lo, up = lo64, up64
     cb = jnp.take(c, final.basis)
     pi = cb @ binv                                          # [m]
     dj_full = c - pi @ A
@@ -364,7 +391,7 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
     lo_b = jnp.take(lo, final.basis)
     up_b = jnp.take(up, final.basis)
     cb1 = jnp.where(xb < lo_b - 1e-7, -1.0,
-                    jnp.where(xb > up_b + 1e-7, 1.0, 0.0)).astype(dtype)
+                    jnp.where(xb > up_b + 1e-7, 1.0, 0.0)).astype(out_dtype)
     farkas = cb1 @ binv
     farkas = jnp.where(status == STATUS_INFEASIBLE, farkas, jnp.zeros_like(farkas))
 

@@ -80,7 +80,8 @@ def mean_value_solution(sp: StagedProblem, dtype=jnp.float64) -> np.ndarray:
     hi = np.concatenate([f.ub, s.ub])
     out = solve_lp(jnp.asarray(A, dtype), jnp.asarray(sense, jnp.int32),
                    jnp.asarray(c, dtype), jnp.asarray(lo, dtype),
-                   jnp.asarray(hi, dtype), jnp.asarray(b, dtype))
+                   jnp.asarray(hi, dtype), jnp.asarray(b, dtype),
+                   max_iter=12 * (A.shape[0] + A.shape[1]) + 256)
     if int(out.status) != STATUS_OPTIMAL:
         raise RuntimeError(
             f"mean-value problem not optimal (status {int(out.status)})")
@@ -168,8 +169,9 @@ class SDSolver:
 
     def evaluate_x(self, x, rep: int = 0) -> EvalResult:
         if self.eval_batch_fn is None:
+            pivot = jnp.float32 if self.cfg.EVAL_F32_PIVOT else None
             self.eval_batch_fn = make_eval_batch(
-                self.pa, self.spec, self.cfg.EVAL_BATCH)
+                self.pa, self.spec, self.cfg.EVAL_BATCH, pivot_dtype=pivot)
         key = _key_from_seed(self.cfg.EVAL_SEED[rep])
         return evaluate(self.pa, self.spec, self.cfg, x, key,
                         eval_batch_fn=self.eval_batch_fn)

@@ -1,0 +1,47 @@
+"""Native (C++) SMPS parser golden tests vs the pure-Python reference."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from stochasticdecomposition_tpu.models.instances import INSTANCES
+from stochasticdecomposition_tpu.models.synthetic import random_two_stage
+from stochasticdecomposition_tpu.smps.core import _read_core_py
+from stochasticdecomposition_tpu.smps.native import (
+    native_available, read_core_native,
+)
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native toolchain unavailable")
+
+
+def _roundtrip(text):
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.cor")
+        with open(p, "w") as fh:
+            fh.write(text)
+        return read_core_native(p), _read_core_py(p)
+
+
+@pytest.mark.parametrize("name", sorted(INSTANCES))
+def test_native_matches_python_instances(name):
+    cn, cp = _roundtrip(INSTANCES[name][0])
+    assert cn.row_names == cp.row_names
+    assert cn.col_names == cp.col_names
+    assert cn.obj_name == cp.obj_name
+    np.testing.assert_allclose(cn.A, cp.A)
+    np.testing.assert_allclose(cn.b, cp.b)
+    np.testing.assert_allclose(cn.c, cp.c)
+    np.testing.assert_allclose(cn.lb, cp.lb)
+    np.testing.assert_allclose(cn.ub, cp.ub)
+    np.testing.assert_array_equal(cn.sense, cp.sense)
+
+
+def test_native_matches_python_synthetic():
+    cor, _, _ = random_two_stage(seed=9, n1=20, m1=3, n2=80, m2=40, n_rv=5)
+    cn, cp = _roundtrip(cor)
+    np.testing.assert_allclose(cn.A, cp.A)
+    np.testing.assert_allclose(cn.b, cp.b)
+    np.testing.assert_allclose(cn.c, cp.c)
