@@ -119,6 +119,12 @@ class SDConfig:
     MAX_BASES: int | None = None
     # Simplex iteration cap multiplier: max_iters = SIMPLEX_ITER_MULT*(m+n)+64.
     SIMPLEX_ITER_MULT: int = 4
+    # Host stopping-check cadence: run CHECK_EVERY fused SD iterations per
+    # device dispatch (a lax.scan chunk). 1 reproduces the reference's
+    # per-iteration optimality gate (algo.c:130); larger values amortize
+    # dispatch overhead and may overshoot the stop by up to CHECK_EVERY-1
+    # iterations.
+    CHECK_EVERY: int = 1
 
     def __post_init__(self):
         if self.MULTIPLE_REP == 1:
@@ -151,7 +157,7 @@ _INT_KEYS = {
     "MIN_ITER", "MAX_ITER", "MASTER_TYPE", "CUT_MULT", "TAU", "PI_EVAL_START",
     "PI_CYCLE", "SCAN_LEN", "EVAL_MIN_ITER", "BOOTSTRAP_REP", "MULTIPLE_REP",
     "SAMPLE_INCREMENT", "EVAL_BATCH", "MAX_OMEGA", "MAX_LAMBDA", "MAX_SIGMA",
-    "SIMPLEX_ITER_MULT",
+    "SIMPLEX_ITER_MULT", "CHECK_EVERY",
 }
 _FLOAT_KEYS = {
     "TOLERANCE", "MIN_QUAD_SCALAR", "MAX_QUAD_SCALAR", "R1", "R2", "R3",

@@ -21,6 +21,15 @@ from stochasticdecomposition_tpu.core.state import ProblemArrays, SDState
 _NEG = -1e300
 
 
+def jax_backend_is_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def height_table(pa: ProblemArrays, state: SDState, x):
     """H[s, o] = sigma.pib + delta.pib - (sigma.piC)'x - (delta.piC)'x
     for every stored dual vertex s and observation o, plus validity masks.
@@ -132,13 +141,28 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
         old_mask = pool_mask & (ck_arr <= ns_eff)[:, None]
         new_mask = pool_mask & (ck_arr > ns_eff)[:, None]
 
-        i_old, h_old = _argmax_masked2(H, old_mask)
-        i_new, h_new = _argmax_masked2(H, new_mask)
+        # Plain path on TPU: one fused Pallas pass produces all three masked
+        # (argmax, max) reductions with a single read of H.
+        use_pallas = (not has_rand_d and jax_backend_is_tpu()
+                      and H.shape[1] % 128 == 0
+                      and H.shape[0] * 128 * H.dtype.itemsize <= 8 * 2 ** 20)
+        if use_pallas:
+            from stochasticdecomposition_tpu.ops.pallas_argmax import (
+                triple_masked_argmax,
+            )
+
+            s_valid_1d = pool_mask[:, 0] if pool_mask.ndim == 2 else pool_mask
+            om1 = s_valid_1d & (ck_arr <= ns_eff)
+            nm1 = s_valid_1d & (ck_arr > ns_eff)
+            i_all, h_all, i_old, h_old, i_new, h_new = triple_masked_argmax(
+                H, s_valid_1d, om1, nm1)
+        else:
+            i_old, h_old = _argmax_masked2(H, old_mask)
+            i_new, h_new = _argmax_masked2(H, new_mask)
+            i_all, h_all = _argmax_masked2(H, pool_mask)
         use_new = h_new > h_old
         istar_split = jnp.where(use_new, i_new, i_old)
         h_split = jnp.maximum(h_old, h_new)
-
-        i_all, h_all = _argmax_masked2(H, pool_mask)
         istar = jnp.where(pi_eval, istar_split, i_all)
         hstar = jnp.where(pi_eval, h_split, h_all)
 

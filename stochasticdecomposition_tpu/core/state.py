@@ -209,6 +209,7 @@ def derive_capacities(sp: StagedProblem, cfg: SDConfig) -> Capacities:
     # k counts samples (matching the reference's iteration==sample), so at
     # most MAX_ITER observations are ever drawn regardless of batching.
     O = cfg.MAX_OMEGA or (cfg.MAX_ITER + max(1, cfg.SAMPLE_INCREMENT))
+    O = ((O + 127) // 128) * 128      # lane-align the observation axis
     L = cfg.MAX_LAMBDA or cap
     S = cfg.MAX_SIGMA or cap
     B = (cfg.MAX_BASES or (cfg.MAX_ITER + cfg.MAX_ITER // cfg.TAU + 1)) \

@@ -225,4 +225,15 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
         )
         return state
 
+    chunk = max(1, int(getattr(cfg, "CHECK_EVERY", 1)))
+    if chunk > 1:
+        base = step
+
+        def step(state: SDState) -> SDState:   # noqa: F811
+            def body(s, _):
+                return base(s), ()
+
+            out, _ = lax.scan(body, state, None, length=chunk)
+            return out
+
     return jax.jit(step, donate_argnums=0) if jit else step

@@ -1,0 +1,127 @@
+"""CLI, result writers, config parsing, and checkpoint round-trip tests."""
+
+import os
+import tempfile
+
+import jax
+import numpy as np
+
+from stochasticdecomposition_tpu.config import SDConfig, load_config
+
+
+def test_config_sd_roundtrip():
+    text = """
+// comment line
+TOLERANCE    0.001
+MIN_ITER 1
+MAX_ITER   500
+MASTER_TYPE 5
+CUT_MULT  1
+TAU 2
+MIN_QUAD_SCALAR 0.001
+RUN_SEED    3554548844580680
+RUN_SEED    4650175399072632
+EVAL_FLAG 1
+EVAL_MIN_ITER 250
+EVAL_ERROR 0.01
+EVAL_SEED	2668655841019641
+EVAL_SEED	8879657642464524
+MAX_QUAD_SCALAR 10000.0
+R1 0.2
+R2 0.95
+R3 2
+DUAL_STABILITY	1
+PI_EVAL_START 0
+PI_CYCLE 1
+BOOTSTRAP_REP 50
+PERCENT_PASS 0.95
+PRE_EPSILON 0.01
+EPSILON 0.001
+SCAN_LEN 256
+MULTIPLE_REP 2
+COMPROMISE_PROB	1
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".sd", delete=False) as fh:
+        fh.write(text)
+        path = fh.name
+    cfg = load_config(path)
+    os.unlink(path)
+    assert cfg.MAX_ITER == 500
+    assert cfg.RUN_SEED == [3554548844580680, 4650175399072632]
+    assert cfg.MULTIPLE_REP == 2 and cfg.COMPROMISE_PROB
+    assert cfg.apply_tolerance_preset("l").EPSILON == 0.01
+
+
+def test_cli_end_to_end(tmp_path):
+    from stochasticdecomposition_tpu.cli import main
+
+    rc = main(["-p", "lands", "-o", str(tmp_path), "-e", "0",
+               "--max-iter", "60", "-t", "l"])
+    assert rc == 0
+    out = tmp_path / "twoSD_tpu" / "lands"
+    assert (out / "detailedResults.csv").exists()
+    assert (out / "incumb.dat").exists()
+    assert (out / "results.jsonl").exists()
+    header = (out / "detailedResults.csv").read_text().splitlines()[0]
+    assert header.startswith("Replication\tIterations\tLB estimate")
+
+
+def test_checkpoint_roundtrip():
+    from stochasticdecomposition_tpu.core.state import init_state
+    from stochasticdecomposition_tpu.models.instances import load_instance
+    from stochasticdecomposition_tpu.prob import decompose
+    from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
+    from stochasticdecomposition_tpu.utils.checkpoint import (
+        load_state, save_state,
+    )
+
+    core, tim, stoc = load_instance("lands")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    cfg = SDConfig(MAX_ITER=40, EVAL_FLAG=False)
+    solver = SDSolver(sp, cfg)
+    state = init_state(solver.pa, solver.caps, cfg, solver.mean_sol,
+                       jax.random.PRNGKey(0))
+    for _ in range(10):
+        state = solver.step(state)
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt.npz")
+        save_state(path, state)
+        fresh = init_state(solver.pa, solver.caps, cfg, solver.mean_sol,
+                           jax.random.PRNGKey(0))
+        restored = load_state(path, fresh)
+
+    # Continue both and compare: bit-identical resumption.
+    a = solver.step(state)
+    b = solver.step(restored)
+    np.testing.assert_array_equal(np.asarray(a.candid_x),
+                                  np.asarray(b.candid_x))
+    assert int(a.k) == int(b.k)
+
+
+def test_sharded_eval_matches_single(monkeypatch):
+    import jax.numpy as jnp
+
+    from stochasticdecomposition_tpu.core.evaluate import make_eval_batch
+    from stochasticdecomposition_tpu.models.instances import load_instance
+    from stochasticdecomposition_tpu.parallel.mesh import (
+        make_mesh, make_sharded_eval,
+    )
+    from stochasticdecomposition_tpu.prob import decompose
+    from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
+
+    core, tim, stoc = load_instance("pgp2like")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    solver = SDSolver(sp, SDConfig(MAX_ITER=40, EVAL_FLAG=False))
+
+    mesh = make_mesh(n_rep=2, n_obs=4)
+    batch = 64
+    x = jnp.asarray(solver.mean_sol)
+    key = jax.random.PRNGKey(3)
+    with mesh:
+        s_sh, sq_sh, ok_sh = make_sharded_eval(
+            solver.pa, solver.spec, batch, mesh)(x, key)
+    s1, sq1, ok1 = make_eval_batch(solver.pa, solver.spec, batch)(x, key)
+    assert int(ok_sh) == int(ok1)
+    np.testing.assert_allclose(float(s_sh), float(s1), rtol=1e-10)
+    np.testing.assert_allclose(float(sq_sh), float(sq1), rtol=1e-10)
