@@ -143,13 +143,13 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
 
         # Plain path on TPU: one fused Pallas pass produces all three masked
         # (argmax, max) reductions with a single read of H.
+        from stochasticdecomposition_tpu.ops.pallas_argmax import (
+            pallas_path_available, triple_masked_argmax,
+        )
+
         use_pallas = (not has_rand_d and jax_backend_is_tpu()
-                      and H.shape[1] % 128 == 0
-                      and H.shape[0] * 128 * H.dtype.itemsize <= 8 * 2 ** 20)
+                      and pallas_path_available(H.shape[0], H.shape[1]))
         if use_pallas:
-            from stochasticdecomposition_tpu.ops.pallas_argmax import (
-                triple_masked_argmax,
-            )
 
             s_valid_1d = pool_mask[:, 0] if pool_mask.ndim == 2 else pool_mask
             om1 = s_valid_1d & (ck_arr <= ns_eff)

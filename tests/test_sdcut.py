@@ -106,3 +106,31 @@ def test_cut_is_lower_bound_everywhere():
             # (1 - ns/k) * lb term is zero (trivial lb).
             assert height <= emp + 1e-6
     assert checked >= 1
+
+
+def test_pallas_triple_argmax_interpret_matches_xla():
+    """Kernel vs jnp fallback (interpret mode; both VMEM-whole and DMA-stream
+    paths, plus the empty-mask sentinel case)."""
+    import jax.numpy as jnp
+
+    from stochasticdecomposition_tpu.ops.pallas_argmax import (
+        _VMEM_BUDGET, triple_masked_argmax, triple_masked_argmax_xla,
+    )
+
+    rng = np.random.default_rng(3)
+    for S, O in [(37, 128), (300, 256), (3000, 1024)]:
+        H = jnp.asarray(rng.normal(size=(S, O)))
+        bm = jnp.asarray(rng.random(S) < 0.8)
+        om = bm & jnp.asarray(rng.random(S) < 0.5)
+        nm = bm & ~om
+        path = "whole" if S * O * 4 + S * 512 <= _VMEM_BUDGET else "stream"
+        got = triple_masked_argmax(H, bm, om, nm, interpret=True)
+        want = triple_masked_argmax_xla(H, bm, om, nm)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       err_msg=f"{path} S={S} O={O}")
+        em = jnp.zeros(S, bool)
+        got = triple_masked_argmax(H, bm, em, em, interpret=True)
+        want = triple_masked_argmax_xla(H, bm, em, em)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w))
