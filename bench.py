@@ -174,18 +174,34 @@ def main():
     solver2.spec = build_sampler(stoc2, sp2.rv_order)
     # Any first-stage point works for throughput (complete recourse).
     solver2.mean_sol = np.full(20, 2.0)
-    big_batch = 64
+    big_batch = 256
     big_rate_f32, big_mean_f32 = bench_eval_throughput(
         solver2, big_batch, rounds=2, pivot_dtype=jnp.float32)
     big_cpu_rate = bench_scipy_throughput(solver2, n_solve=20)
     big_mean_cpu = scipy_mean_obj(solver2, n_solve=20)
     f32_obj_err = abs(big_mean_f32 - big_mean_cpu) / max(abs(big_mean_cpu), 1)
 
+    # ---- suite scale (ssn: 175x881 second stage, 86 RVs) -----------------
+    from stochasticdecomposition_tpu.models.suite import load_suite_instance
+
+    core3, tim3, stoc3 = load_suite_instance("ssnlike")
+    sp3 = attach_stoc(decompose(core3, tim3, stoc3), stoc3)
+    solver3 = _Shim()
+    solver3.pa = stage_problem(sp3)
+    solver3.spec = build_sampler(stoc3, sp3.rv_order)
+    solver3.mean_sol = np.full(89, 2.0)
+    ssn_rate, _ = bench_eval_throughput(solver3, 128, rounds=2,
+                                        pivot_dtype=jnp.float32)
+    ssn_cpu_rate = bench_scipy_throughput(solver3, n_solve=8)
+
     print(json.dumps({
         "metric": "batched_subproblem_lp_throughput_large",
         "value": round(big_rate_f32, 2),
-        "unit": "LP solves/s (80x240 LPs, f32 pivot + f64 cleanup)",
+        "unit": "LP solves/s (80x240 LPs, f32 pivots)",
         "vs_baseline": round(big_rate_f32 / big_cpu_rate, 3),
+        "ssn_scale_tpu_lp_per_s": round(ssn_rate, 2),
+        "ssn_scale_cpu_scipy_lp_per_s": round(ssn_cpu_rate, 2),
+        "ssn_scale_vs_baseline": round(ssn_rate / ssn_cpu_rate, 3),
         "large_cpu_scipy_lp_per_s": round(big_cpu_rate, 2),
         "large_f32_vs_cpu_obj_relerr": round(f32_obj_err, 6),
         "small_tpu_lp_per_s_f64": round(tpu_rate, 2),

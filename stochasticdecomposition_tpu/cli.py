@@ -69,6 +69,7 @@ def main(argv=None) -> int:
         cfg.COMPROMISE_PROB = False
 
     from stochasticdecomposition_tpu.models.instances import INSTANCES, load_instance
+    from stochasticdecomposition_tpu.models.suite import SUITE, load_suite_instance
     from stochasticdecomposition_tpu.prob import decompose
     from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
     from stochasticdecomposition_tpu.smps import read_smps
@@ -78,9 +79,11 @@ def main(argv=None) -> int:
         core, tim, stoc = read_smps(args.input_dir, args.prob_name)
     elif args.prob_name in INSTANCES:
         core, tim, stoc = load_instance(args.prob_name)
+    elif args.prob_name in SUITE:
+        core, tim, stoc = load_suite_instance(args.prob_name)
     else:
         print(f"unknown problem {args.prob_name!r}: provide -i or use one of "
-              f"{sorted(INSTANCES)}", file=sys.stderr)
+              f"{sorted(INSTANCES) + sorted(SUITE)}", file=sys.stderr)
         return 2
 
     sp = attach_stoc(decompose(core, tim, stoc), stoc)

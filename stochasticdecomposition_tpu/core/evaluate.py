@@ -46,7 +46,7 @@ def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
         def solve_one(wi):
             rhs, cost = subproblem_rhs_cost(pa, x, wi)
             res = solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs,
-                           pivot_dtype=pivot_dtype)
+                           pivot_dtype=pivot_dtype, lite=True)
             return res.obj, res.status == STATUS_OPTIMAL
 
         objs, ok = jax.vmap(solve_one)(w)

@@ -57,6 +57,28 @@ def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
         # A padded zero equality row keeps the KKT matrix singular; give it a
         # dummy identity-ish entry tied to a zero rhs via regularization below.
 
+    # --- row equilibration -------------------------------------------------
+    # SD cut rows carry eta coefficients that grow ~k (changeEtaCol,
+    # master.c:146-161), so raw rows span orders of magnitude and the late
+    # barrier KKT systems exceed what emulated-f64 Gauss-Jordan can resolve.
+    # Scale every constraint row to unit inf-norm; duals/slacks are scaled
+    # back below, so callers see the original row scaling.
+    def _row_scale(Mat):
+        r = jnp.max(jnp.abs(Mat), axis=1) if Mat.shape[0] else \
+            jnp.zeros(0, dtype)
+        return jnp.where(r > 0, r, 1.0)
+
+    rG = _row_scale(G)
+    G = G / rG[:, None] if mi else G
+    h = h / rG if mi else h
+    rA = _row_scale(A)
+    A = A / rA[:, None] if me else A
+    b = b / rA if me else b
+
+    # Convergence is tested relative to the data scale (costs ~ the dual
+    # residual's natural magnitude after equilibration).
+    scale = 1.0 + jnp.max(jnp.abs(c))
+
     # Initial point.
     v0 = jnp.zeros(n, dtype=dtype)
     y0 = jnp.zeros(me, dtype=dtype)
@@ -94,7 +116,7 @@ def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
         res = jnp.maximum(jnp.max(jnp.abs(rd)),
                           jnp.maximum(jnp.max(jnp.abs(rg)) if mi else 0.0,
                                       jnp.max(jnp.abs(rp)) if me else 0.0))
-        converged = (res < tol * 10) & (mu < tol)
+        converged = (res < tol * 10 * scale) & (mu < tol * scale)
 
         # Clamp the barrier weights: unbounded z/s ratios make the late KKT
         # systems unsolvable at emulated-f64 accuracy.
@@ -151,7 +173,7 @@ def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
     # iteration cap (possible under TPU f64 emulation), accept a KKT point at
     # 1e-6 accuracy — far tighter than the algorithmic tolerances consuming
     # these solutions (config.sd TOLERANCE is 1e-3).
-    soft = 1e-6
+    soft = 1e-6 * scale
     rd_f = Q @ v + c + (A.T @ y if me else 0.0) + G.T @ z
     rg_f = (G @ v + s - h) if mi else jnp.zeros(0, dtype)
     rp_f = (A @ v - b) if me else jnp.zeros(0, dtype)
@@ -160,6 +182,21 @@ def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
         jnp.abs(rd_f), jnp.abs(rg_f), jnp.abs(rp_f),
         jnp.zeros(1, dtype)]))
     done = done | ((res_f < soft) & (mu_f < soft))
+
+    # Undo the row equilibration so duals/slacks are in the caller's row
+    # scaling: for G_s = G/r, stationarity gives z_orig = z_s / r.
+    if mi:
+        z = z / rG
+        s = s * rG
+    if me:
+        y = y / rA
+        G = G * rG[:, None]
+        h = h * rG
+        A = A * rA[:, None]
+        b = b * rA
+    elif mi:
+        G = G * rG[:, None]
+        h = h * rG
 
     # ---- active-set polish ("crossover-lite") ---------------------------
     # IPM iterates land O(sqrt(mu)) away from degenerate vertices; the

@@ -81,6 +81,14 @@ class LPResult(NamedTuple):
     #                            ray'b > 0); zeros otherwise.
 
 
+
+def _mm(a, b):
+    """Matmul at HIGHEST precision: pivoting decisions are sign tests on
+    reduced costs, and under vmap these matvecs become MXU matmuls that
+    default to bf16 passes — enough error to stall the simplex.  Pinned here
+    so the kernel is correct regardless of jax_default_matmul_precision."""
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+
 def make_standard_form(D, sense, d, l, u) -> StandardForm:
     """Build [D | I] z = b standard form; slack bounds encode row senses.
 
@@ -103,11 +111,11 @@ class _State(NamedTuple):
     at_upper: jnp.ndarray     # [nt] bool (meaningful for nonbasic only)
     binv: jnp.ndarray         # [m, m]
     xb: jnp.ndarray           # [m] basic values
+    gamma: jnp.ndarray        # [nt] Devex reference weights
     it: jnp.ndarray           # int32 total iterations
     stall: jnp.ndarray        # int32 consecutive degenerate pivots
-    done: jnp.ndarray         # bool
+    done: jnp.ndarray        # bool
     status: jnp.ndarray       # int32
-    since_refac: jnp.ndarray  # int32
 
 
 def _nonbasic_values(sf: StandardForm, at_upper, in_basis):
@@ -121,17 +129,22 @@ def _nonbasic_values(sf: StandardForm, at_upper, in_basis):
 
 def _refactorize(sf: StandardForm, basis):
     B = jnp.take(sf.A, basis, axis=1)                       # [m, m]
+    if B.dtype == jnp.float32:
+        # XLA's LU-based inverse is a single fused op on TPU for f32 —
+        # vs gj_inv's m sequential elimination steps (f64 has no TPU
+        # LuDecomposition, so the f64 path keeps Gauss-Jordan).
+        return jnp.linalg.inv(B)
     return gj_inv(B)
 
 
 def _compute_xb(sf: StandardForm, binv, basis, xn_full):
-    rhs_eff = sf.b - sf.A @ xn_full
-    return binv @ rhs_eff
+    rhs_eff = sf.b - _mm(sf.A, xn_full)
+    return _mm(binv, rhs_eff)
 
 
 def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
              refac_every: int = 64, stall_limit: int = 24,
-             pivot_dtype=None) -> LPResult:
+             pivot_dtype=None, lite: bool = False) -> LPResult:
     """Solve  min d'y  s.t.  D y {sense} b,  l <= y <= u.
 
     Pure function of static-shape arrays — jit/vmap friendly.  ``max_iter=0``
@@ -143,6 +156,20 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
     Pivot decisions are discrete, so for well-scaled problems the chosen
     basis matches; use for the statistical evaluation path where a rare
     slightly-suboptimal basis is tolerable.
+
+    ``lite``: skip the final clean refactorization in the output dtype and
+    report objective/primal/duals straight from the pivot-loop state.  Saves
+    an O(m) sequential Gauss-Jordan pass per solve; for the out-of-sample
+    evaluator (evaluate.c:49-103), which consumes only (obj, status), the
+    f32-state objective recomputed against the f64 cost vector is plenty.
+
+    Loop structure (the TPU-critical bit): pivots run in an inner
+    ``fori_loop`` of ``refac_every`` product-form steps with finished lanes
+    masked, and the outer ``while_loop`` refactorizes ONCE per chunk.  A
+    naive per-iteration ``lax.cond`` refactorization would execute BOTH
+    branches on every pivot under ``vmap`` (cond lowers to select), paying an
+    O(m)-sequential-step Gauss-Jordan inversion per pivot — measured ~40x
+    slower on an 80x240 batch.
     """
     out_dtype = jnp.result_type(D.dtype, jnp.float32)
     dtype = jnp.dtype(pivot_dtype) if pivot_dtype is not None else out_dtype
@@ -184,8 +211,9 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
     state0 = _State(
         basis=basis0, in_basis=in_basis0, at_upper=at_upper0,
         binv=jnp.eye(m, dtype=dtype), xb=xb0,
+        gamma=jnp.ones(nt, dtype=dtype),
         it=jnp.int32(0), stall=jnp.int32(0), done=jnp.bool_(False),
-        status=jnp.int32(STATUS_OPTIMAL), since_refac=jnp.int32(0),
+        status=jnp.int32(STATUS_OPTIMAL),
     )
 
     big_ratio = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
@@ -205,9 +233,9 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
         cb1 = jnp.where(viol_lo, -1.0, jnp.where(viol_hi, 1.0, 0.0)).astype(dtype)
         cb2 = jnp.take(c, basis)
         cb = jnp.where(in_phase1, cb1, cb2)
-        piv = cb @ binv                                    # [m] simplex multipliers
+        piv = _mm(cb, binv)                                 # [m] simplex multipliers
         # Reduced costs: phase-1 nonbasic cost is 0; phase-2 cost is c_j.
-        red = jnp.where(in_phase1, 0.0, c) - piv @ A       # [nt]
+        red = jnp.where(in_phase1, 0.0, c) - _mm(piv, A)      # [nt]
 
         # Eligibility: nonbasic at lower wants red<-tol (increase), at upper
         # wants red>tol (decrease); free nonbasics may move either way.
@@ -216,7 +244,10 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
         elig_inc = ~in_basis & not_fixed & (~at_upper | free_nb) & (red < -tol)
         elig_dec = ~in_basis & not_fixed & (at_upper | free_nb) & (red > tol)
         elig = elig_inc | elig_dec
-        score = jnp.where(elig, jnp.abs(red), -1.0)
+        # Devex pricing (Forrest-Goldfarb): red^2 / reference weight.  Plain
+        # Dantzig (|red|) needs several times more pivots on the degenerate
+        # dispatch-style recourse LPs of the benchmark suite.
+        score = jnp.where(elig, red * red / st.gamma, -1.0)
 
         use_bland = st.stall >= stall_limit
         bland_key = jnp.where(elig, -col_ids, -(nt + 1))
@@ -233,7 +264,7 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
         # Direction: +1 if entering increases, -1 if it decreases.
         dir_ = jnp.where(jnp.take(elig_inc, j), 1.0, -1.0).astype(dtype)
 
-        w = binv @ A[:, j]                                 # [m]
+        w = _mm(binv, A[:, j])                                # [m]
         # Basic movement per unit t: xb <- xb - t * dir * w.
         delta = -dir_ * w
 
@@ -298,6 +329,22 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
         in_basis_new = in_basis.at[j].set(True).at[leave_var].set(False)
         at_upper_new = at_upper.at[leave_var].set(leave_is_upper).at[j].set(False)
 
+        # Devex weight update: pivot row alpha = e_r' Binv A over all
+        # columns; for nonbasic j, gamma_j <- max(gamma_j, (a_j/a_q)^2 g_q);
+        # the leaving variable re-enters the nonbasic set with
+        # max(g_q / a_q^2, 1).  Reset to the reference framework when the
+        # weights outgrow their useful dynamic range.
+        w_r0 = jnp.take(w, r_leave)
+        safe_aq = jnp.where(jnp.abs(w_r0) < 1e-12, 1.0, w_r0)
+        alpha_row = _mm(binv[r_leave], A)                    # [nt]
+        g_q = jnp.take(st.gamma, j)
+        cand_g = jnp.square(alpha_row / safe_aq) * g_q
+        gamma_piv = jnp.maximum(st.gamma, cand_g)
+        gamma_piv = gamma_piv.at[leave_var].set(
+            jnp.maximum(g_q / jnp.square(safe_aq), 1.0))
+        gamma_piv = jnp.where(jnp.max(gamma_piv) > 1e8,
+                              jnp.ones_like(gamma_piv), gamma_piv)
+
         # Product-form update of the inverse: E = I - (w - e_r)/w_r * e_r'.
         w_r = jnp.take(w, r_leave)
         safe_wr = jnp.where(jnp.abs(w_r) < 1e-12, 1.0, w_r)
@@ -312,24 +359,12 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
 
         # Select flip vs pivot vs nothing.
         def _on_flip():
-            return basis, in_basis, at_upper_flip, binv, xb_new
+            return basis, in_basis, at_upper_flip, binv, xb_new, st.gamma
         def _on_pivot():
-            return basis_new, in_basis_new, at_upper_new, binv_new, xb_pivot
-        basis2, in_basis2, at_upper2, binv2, xb2 = lax.cond(
+            return (basis_new, in_basis_new, at_upper_new, binv_new,
+                    xb_pivot, gamma_piv)
+        basis2, in_basis2, at_upper2, binv2, xb2, gamma2 = lax.cond(
             do_flip, _on_flip, _on_pivot)
-
-        # Periodic refactorization + xb recompute to control drift.
-        since = st.since_refac + 1
-        def _refac(args):
-            basis_, in_basis_, at_upper_ = args
-            binv_ = _refactorize(sf, basis_)
-            xn_full = _nonbasic_values(sf, at_upper_, in_basis_)
-            return binv_, _compute_xb(sf, binv_, basis_, xn_full), jnp.int32(0)
-        def _norefac(args):
-            return binv2, xb2, since
-        binv3, xb3, since3 = lax.cond(
-            since >= refac_every, _refac, _norefac,
-            (basis2, in_basis2, at_upper2))
 
         degen = t_star <= tol
         stall_new = jnp.where(degen, st.stall + 1, jnp.int32(0))
@@ -340,27 +375,70 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
             jnp.where(unbounded, STATUS_UNBOUNDED,
                       jnp.where(stuck, STATUS_INFEASIBLE, st.status)))
 
-        # If finished, keep the pre-step state (the step is meaningless).
-        keep = finished
+        # Keep the pre-step state when this step finished the lane (the step
+        # is meaningless) OR when the lane was already done before the step
+        # (finished lanes ride along masked inside the chunked fori_loop).
+        keep = finished | st.done
         return _State(
             basis=jnp.where(keep, basis, basis2),
             in_basis=jnp.where(keep, in_basis, in_basis2),
             at_upper=jnp.where(keep, at_upper, at_upper2),
-            binv=jnp.where(keep, binv, binv3),
-            xb=jnp.where(keep, xb, xb3),
-            it=st.it + 1,
-            stall=stall_new,
-            done=finished,
-            status=status_new.astype(jnp.int32),
-            since_refac=jnp.where(keep, st.since_refac, since3),
+            binv=jnp.where(keep, binv, binv2),
+            xb=jnp.where(keep, xb, xb2),
+            gamma=jnp.where(keep, st.gamma, gamma2),
+            it=jnp.where(st.done, st.it, st.it + 1),
+            stall=jnp.where(st.done, st.stall, stall_new),
+            done=st.done | finished,
+            status=jnp.where(st.done, st.status,
+                             status_new).astype(jnp.int32),
         )
+
+    # Chunk length: ~one refactorization per m pivots (standard practice),
+    # floored so tiny LPs don't refactorize constantly and capped by
+    # refac_every so drift stays controlled.  The while-loop exit check only
+    # happens between chunks, so small chunks also stop near-converged
+    # batches sooner.
+    chunk = max(8, min(refac_every, m))
+
+    def outer_body(st: _State) -> _State:
+        # `chunk` product-form pivots, then ONE batched refactorization
+        # + xb recompute to control drift (amortizes the O(m)-sequential-step
+        # Gauss-Jordan across the whole chunk; see docstring).
+        st = lax.fori_loop(0, chunk, lambda _, s: body(s), st)
+        binv_ = _refactorize(sf, st.basis)
+        xn_full = _nonbasic_values(sf, st.at_upper, st.in_basis)
+        xb_ = _compute_xb(sf, binv_, st.basis, xn_full)
+        return st._replace(binv=binv_, xb=xb_)
 
     def cond(st: _State):
         return ~st.done & (st.it < max_iter)
 
-    final = lax.while_loop(cond, body, state0)
+    final = lax.while_loop(cond, outer_body, state0)
 
     status = jnp.where(final.done, final.status, jnp.int32(STATUS_ITER_LIMIT))
+
+    if lite:
+        # Objective/primal from the (chunk-end refactorized) loop state; the
+        # f64 cost vector keeps the reported objective accurate.
+        xn_full = _nonbasic_values(sf, final.at_upper, final.in_basis)
+        x_full = xn_full.at[final.basis].set(final.xb).astype(out_dtype)
+        c64_ = jnp.concatenate([d64, jnp.zeros(m, dtype=out_dtype)])
+        cb_ = jnp.take(c64_, final.basis)
+        pi_ = _mm(cb_, final.binv.astype(out_dtype))
+        dj_ = c64_ - _mm(pi_, jnp.concatenate(
+            [D64, jnp.eye(m, dtype=out_dtype)], axis=1))
+        cstat_l = jnp.where(
+            final.in_basis, BASIC,
+            jnp.where(~jnp.isfinite(lo) & ~jnp.isfinite(up), FREE_NB,
+                      jnp.where(final.at_upper, AT_UPPER, AT_LOWER)),
+        ).astype(jnp.int32)
+        return LPResult(
+            status=status, obj=c64_ @ x_full, y=x_full[:n], pi=pi_,
+            dj=dj_[:n], cstat=cstat_l[:n], rstat=cstat_l[n:],
+            basis=final.basis, binv=final.binv.astype(out_dtype),
+            iters=final.it,
+            farkas=jnp.zeros(m, out_dtype),
+        )
 
     # ---- clean final quantities (refactorized, in the OUTPUT dtype) -----
     A64 = jnp.concatenate([D64, jnp.eye(m, dtype=out_dtype)], axis=1)
@@ -380,8 +458,8 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
     A = A64
     lo, up = lo64, up64
     cb = jnp.take(c, final.basis)
-    pi = cb @ binv                                          # [m]
-    dj_full = c - pi @ A
+    pi = _mm(cb, binv)                                        # [m]
+    dj_full = c - _mm(pi, A)
     obj = c @ x_full
 
     # Farkas ray for infeasible LPs: the phase-1 multipliers. ray = cb1'Binv
@@ -392,7 +470,7 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
     up_b = jnp.take(up, final.basis)
     cb1 = jnp.where(xb < lo_b - 1e-7, -1.0,
                     jnp.where(xb > up_b + 1e-7, 1.0, 0.0)).astype(out_dtype)
-    farkas = cb1 @ binv
+    farkas = _mm(cb1, binv)
     farkas = jnp.where(status == STATUS_INFEASIBLE, farkas, jnp.zeros_like(farkas))
 
     cstat_full = jnp.where(
