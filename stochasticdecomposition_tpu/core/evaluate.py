@@ -43,10 +43,22 @@ def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
         w_raw = sample_omega(spec, key, batch, dtype=dtype)
         w = w_raw - pa.omega_mean[None, :]
 
+        # Warm start the whole batch from the mean-observation optimal basis
+        # (all scenarios share x and differ only in rhs/cost, so each warm
+        # solve is a handful of phase-1 restart pivots instead of a cold
+        # ~O(m+n)-pivot pass).
+        from stochasticdecomposition_tpu.ops.simplex import AT_UPPER
+
+        rhs0, cost0 = subproblem_rhs_cost(pa, x, jnp.zeros_like(w[0]))
+        base = solve_lp(pa.D, pa.sense2, cost0, pa.l2, pa.u2, rhs0,
+                        pivot_dtype=pivot_dtype, lite=True)
+        base_atup = jnp.concatenate([base.cstat, base.rstat]) == AT_UPPER
+
         def solve_one(wi):
             rhs, cost = subproblem_rhs_cost(pa, x, wi)
             res = solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs,
-                           pivot_dtype=pivot_dtype, lite=True)
+                           pivot_dtype=pivot_dtype, lite=True,
+                           init_basis=base.basis, init_at_upper=base_atup)
             return res.obj, res.status == STATUS_OPTIMAL
 
         objs, ok = jax.vmap(solve_one)(w)

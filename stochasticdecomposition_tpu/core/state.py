@@ -147,6 +147,12 @@ class SDState(NamedTuple):
     feas_cnt: jnp.ndarray       # int32
     master_ok: jnp.ndarray      # bool: last master solve converged
 
+    # warm-start basis for the next subproblem solve (the reference gets
+    # this for free from CPLEX's in-memory problem object; here the optimal
+    # basis of the previous solve restarts the next one via phase 1)
+    warm_basis: jnp.ndarray     # [m2] int32
+    warm_atup: jnp.ndarray      # [n2s + m2] bool (standard-form at-upper)
+
 
 def stage_problem(sp: StagedProblem, dtype=jnp.float64) -> ProblemArrays:
     rv = sp.rv
@@ -303,6 +309,9 @@ def init_state(pa: ProblemArrays, caps: Capacities, cfg: SDConfig,
         infeas_incumb=jnp.bool_(False),
         feas_cnt=jnp.int32(0),
         master_ok=jnp.bool_(True),
+        warm_basis=jnp.arange(pa.D.shape[1], pa.D.shape[1] + pa.D.shape[0],
+                              dtype=jnp.int32),
+        warm_atup=jnp.zeros(pa.D.shape[1] + pa.D.shape[0], bool),
     )
     # Distinct buffers per leaf: the step donates its input, and XLA rejects
     # donating one buffer twice (x0 / candid_est would otherwise be shared).

@@ -25,7 +25,7 @@ from stochasticdecomposition_tpu.core.state import (
     Capacities, ProblemArrays, SDState,
 )
 from stochasticdecomposition_tpu.core.update import (
-    calc_omega, solve_subproblem, stochastic_updates,
+    calc_omega, solve_subproblem, stochastic_updates, warm_solve_subproblem,
 )
 from stochasticdecomposition_tpu.ops.simplex import STATUS_OPTIMAL
 from stochasticdecomposition_tpu.sampler import SamplerSpec, sample_omega
@@ -39,8 +39,8 @@ def make_substeps(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig):
     dtype = pa.c1.dtype
 
     def subprob_update(state: SDState) -> SDState:
-        res = solve_subproblem(pa, state.candid_x,
-                               state.omega_vals[state.last_o_idx])
+        res, state = warm_solve_subproblem(
+            pa, state, state.candid_x, state.omega_vals[state.last_o_idx])
         sp_feas = res.status == STATUS_OPTIMAL
         state = state._replace(lp_cnt=state.lp_cnt + 1, sp_feas=sp_feas)
         state, _ = stochastic_updates(pa, state, res, state.last_o_idx,
@@ -75,7 +75,7 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
         """formSDCut (cuts.c:22-89): solve subproblem, run stochastic
         updates, build the SD cut via argmax, add it to pool."""
         w = state.omega_vals[o_idx]
-        res = solve_subproblem(pa, x, w)
+        res, state = warm_solve_subproblem(pa, state, x, w)
         sp_feas = res.status == STATUS_OPTIMAL
         state = state._replace(lp_cnt=state.lp_cnt + 1,
                                sp_feas=state.sp_feas & sp_feas)
@@ -168,9 +168,23 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
 
             # Solve all B subproblems at the candidate as one vmapped batch.
             ws = state.omega_vals[o_idxs]
-            res_b = jax.vmap(lambda wi: solve_subproblem(pa, state.candid_x,
-                                                         wi))(ws)
+            res_b = jax.vmap(lambda wi: solve_subproblem(
+                pa, state.candid_x, wi, init_basis=state.warm_basis,
+                init_at_upper=state.warm_atup))(ws)
             all_feas = jnp.all(res_b.status == STATUS_OPTIMAL)
+            # Refresh the warm basis from the last optimal lane.
+            from stochasticdecomposition_tpu.ops.simplex import AT_UPPER
+            okb = res_b.status == STATUS_OPTIMAL
+            last_ok = jnp.where(jnp.any(okb),
+                                jnp.max(jnp.where(
+                                    okb, jnp.arange(batch), -1)), -1)
+            li = jnp.maximum(last_ok, 0)
+            atup_b = jnp.concatenate(
+                [res_b.cstat[li], res_b.rstat[li]]) == AT_UPPER
+            use = last_ok >= 0
+            state = state._replace(
+                warm_basis=jnp.where(use, res_b.basis[li], state.warm_basis),
+                warm_atup=jnp.where(use, atup_b, state.warm_atup))
             state = state._replace(lp_cnt=state.lp_cnt + batch,
                                    sp_feas=state.sp_feas & all_feas)
 

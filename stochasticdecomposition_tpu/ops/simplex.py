@@ -144,7 +144,8 @@ def _compute_xb(sf: StandardForm, binv, basis, xn_full):
 
 def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
              refac_every: int = 64, stall_limit: int = 24,
-             pivot_dtype=None, lite: bool = False) -> LPResult:
+             pivot_dtype=None, lite: bool = False,
+             init_basis=None, init_at_upper=None) -> LPResult:
     """Solve  min d'y  s.t.  D y {sense} b,  l <= y <= u.
 
     Pure function of static-shape arrays — jit/vmap friendly.  ``max_iter=0``
@@ -200,17 +201,30 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
 
     col_ids = jnp.arange(nt, dtype=jnp.int32)
 
-    # ---- initial slack basis --------------------------------------------
-    basis0 = jnp.arange(n, n + m, dtype=jnp.int32)
-    in_basis0 = jnp.concatenate([jnp.zeros(n, bool), jnp.ones(m, bool)])
-    # nonbasics start at lower if finite else upper else value 0 (free).
-    at_upper0 = ~jnp.isfinite(lo) & jnp.isfinite(up)
+    # ---- initial basis: warm start or all-slack ---------------------------
+    # A warm basis (the previous SD subproblem's optimal basis; the LP data
+    # differ only in rhs/cost, so the basis matrix stays nonsingular) enters
+    # through phase 1: basics violating bounds under the new rhs are priced
+    # by the composite infeasibility gradient — the standard primal restart.
+    if init_basis is None:
+        basis0 = jnp.arange(n, n + m, dtype=jnp.int32)
+        in_basis0 = jnp.concatenate([jnp.zeros(n, bool), jnp.ones(m, bool)])
+        # nonbasics start at lower if finite else upper else value 0 (free).
+        at_upper0 = ~jnp.isfinite(lo) & jnp.isfinite(up)
+        binv0 = jnp.eye(m, dtype=dtype)
+    else:
+        basis0 = init_basis.astype(jnp.int32)
+        in_basis0 = jnp.zeros(nt, bool).at[basis0].set(True)
+        at_upper0 = (jnp.asarray(init_at_upper, bool) & ~in_basis0
+                     if init_at_upper is not None
+                     else (~jnp.isfinite(lo) & jnp.isfinite(up)) & ~in_basis0)
+        binv0 = _refactorize(sf, basis0)
     xn0 = _nonbasic_values(sf, at_upper0, in_basis0)
-    xb0 = _compute_xb(sf, jnp.eye(m, dtype=dtype), basis0, xn0)
+    xb0 = _compute_xb(sf, binv0, basis0, xn0)
 
     state0 = _State(
         basis=basis0, in_basis=in_basis0, at_upper=at_upper0,
-        binv=jnp.eye(m, dtype=dtype), xb=xb0,
+        binv=binv0, xb=xb0,
         gamma=jnp.ones(nt, dtype=dtype),
         it=jnp.int32(0), stall=jnp.int32(0), done=jnp.bool_(False),
         status=jnp.int32(STATUS_OPTIMAL),
