@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", dest="config_path", default=None,
                    help="path to a config.sd file")
     p.add_argument("--max-iter", dest="max_iter", type=int, default=None)
+    p.add_argument("--checkpoint-every", dest="checkpoint_every", type=int,
+                   default=0, metavar="N",
+                   help="save the full solver state every N iterations")
+    p.add_argument("--checkpoint-dir", dest="checkpoint_dir", default=None)
+    p.add_argument("--resume", dest="resume_from", default=None,
+                   metavar="CKPT.npz",
+                   help="resume replication 0 from a saved state")
     p.add_argument("--seed-offset", dest="seed_offset", type=int, default=0)
     return p
 
@@ -94,7 +101,13 @@ def main(argv=None) -> int:
         sys.stdout.flush()
 
     print("Starting two-stage stochastic decomposition (TPU).")
-    result = solver.run(log=log)
+    ckpt_dir = args.checkpoint_dir
+    if args.checkpoint_every and not ckpt_dir:
+        ckpt_dir = os.path.join(args.output_dir, "twoSD_tpu",
+                                args.prob_name, "checkpoints")
+    result = solver.run(log=log, checkpoint_every=args.checkpoint_every,
+                        checkpoint_dir=ckpt_dir,
+                        resume_from=args.resume_from)
     print()
     for r in result.replications:
         sdio.print_optimization_summary(r, cfg.MAX_ITER)

@@ -110,15 +110,32 @@ class SDSolver:
         self.eval_batch_fn = None
         self.mean_sol = mean_value_solution(sp, dtype)
 
-    def solve_replication(self, rep: int = 0,
-                          log=lambda s: None) -> ReplicationResult:
+    def solve_replication(self, rep: int = 0, log=lambda s: None,
+                          checkpoint_every: int = 0,
+                          checkpoint_dir: str | None = None,
+                          resume_from: str | None = None) -> ReplicationResult:
         cfg = self.cfg
         t0 = time.monotonic()
         key = _key_from_seed(cfg.RUN_SEED[rep])
         key, eval_key = jax.random.split(key)
         state = init_state(self.pa, self.caps, cfg, self.mean_sol, key)
+        if resume_from:
+            from stochasticdecomposition_tpu.utils.checkpoint import load_state
+            state = load_state(resume_from, state)
         t_setup = time.monotonic() - t0
         pool_alpha, pool_beta = [], []   # host-side feasibility cut pool
+
+        def _maybe_checkpoint(st):
+            if checkpoint_every and checkpoint_dir and \
+                    int(st.k) % checkpoint_every == 0:
+                import os
+
+                from stochasticdecomposition_tpu.utils.checkpoint import (
+                    save_state,
+                )
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                save_state(os.path.join(
+                    checkpoint_dir, f"rep{rep:02d}_k{int(st.k):06d}.npz"), st)
 
         optimal = False
         while int(state.k) < cfg.MAX_ITER:
@@ -135,6 +152,7 @@ class SDSolver:
                         break
                     log(".")
             state = self.step(state)
+            _maybe_checkpoint(state)
             if not bool(state.sp_feas):
                 # Feasibility mode (resolveInfeasibility, cuts.c:402-449).
                 log("F")
@@ -176,13 +194,18 @@ class SDSolver:
         return evaluate(self.pa, self.spec, self.cfg, x, key,
                         eval_batch_fn=self.eval_batch_fn)
 
-    def run(self, log=lambda s: None) -> RunResult:
+    def run(self, log=lambda s: None, checkpoint_every: int = 0,
+            checkpoint_dir: str | None = None,
+            resume_from: str | None = None) -> RunResult:
         """Full multi-replication run with the compromise epilogue
         (algo.c:36-96)."""
         cfg = self.cfg
         reps = []
         for rep in range(cfg.MULTIPLE_REP):
-            r = self.solve_replication(rep, log=log)
+            r = self.solve_replication(
+                rep, log=log, checkpoint_every=checkpoint_every,
+                checkpoint_dir=checkpoint_dir,
+                resume_from=resume_from if rep == 0 else None)
             if cfg.EVAL_FLAG:
                 r.eval = self.evaluate_x(r.incumb_x, rep)
             reps.append(r)

@@ -125,3 +125,23 @@ def test_sharded_eval_matches_single(monkeypatch):
     assert int(ok_sh) == int(ok1)
     np.testing.assert_allclose(float(s_sh), float(s1), rtol=1e-10)
     np.testing.assert_allclose(float(sq_sh), float(sq1), rtol=1e-10)
+
+
+def test_cli_checkpoint_and_resume(tmp_path):
+    """--checkpoint-every writes .npz saves; --resume restarts from one."""
+    from stochasticdecomposition_tpu.cli import main
+
+    rc = main(["-p", "lands", "-o", str(tmp_path), "-e", "0",
+               "--max-iter", "30", "-t", "l", "--checkpoint-every", "10"])
+    assert rc == 0
+    ckpts = sorted(
+        (tmp_path / "twoSD_tpu" / "lands" / "checkpoints").glob("*.npz"))
+    assert len(ckpts) >= 2
+    # resume from the k=10 save and run to 30 again
+    rc = main(["-p", "lands", "-o", str(tmp_path / "resumed"), "-e", "0",
+               "--max-iter", "30", "-t", "l", "--resume", str(ckpts[0])])
+    assert rc == 0
+    a = (tmp_path / "twoSD_tpu" / "lands" / "incumb.dat").read_text()
+    b = (tmp_path / "resumed" / "twoSD_tpu" / "lands" /
+         "incumb.dat").read_text()
+    assert a == b   # bit-identical restart (same PRNG key in the state)
