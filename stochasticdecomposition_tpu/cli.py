@@ -101,6 +101,9 @@ def main(argv=None) -> int:
         sys.stdout.flush()
 
     print("Starting two-stage stochastic decomposition (TPU).")
+    if args.resume_from and not os.path.exists(args.resume_from):
+        print(f"checkpoint not found: {args.resume_from}", file=sys.stderr)
+        return 2
     ckpt_dir = args.checkpoint_dir
     if args.checkpoint_every and not ckpt_dir:
         ckpt_dir = os.path.join(args.output_dir, "twoSD_tpu",
