@@ -213,9 +213,15 @@ def cut_heights_at(pa: ProblemArrays, state: SDState, x, k):
 
 
 def max_cut_height(pa: ProblemArrays, state: SDState, x, k):
-    """maxCutHeight (cuts.c:197-209) over active cut slots."""
+    """maxCutHeight (cuts.c:197-209) over active cut slots.
+
+    With NO active cuts (only possible transiently in feasibility mode when
+    the first cut was skipped) the approximation of E[h] is just its lower
+    bound — matching the setup-time estimate candid_est = c'x + lb
+    (setup.c:102)."""
     h = cut_heights_at(pa, state, x, k)
-    return jnp.max(jnp.where(state.cut_mask, h, _NEG))
+    return jnp.where(jnp.any(state.cut_mask),
+                     jnp.max(jnp.where(state.cut_mask, h, _NEG)), pa.lb)
 
 
 def add_cut(pa: ProblemArrays, state: SDState, parts: CutParts, k, *,
@@ -225,7 +231,13 @@ def add_cut(pa: ProblemArrays, state: SDState, parts: CutParts, k, *,
     Slot discipline: free slot if available; otherwise CANDIDATE cuts evict
     the oldest slack non-incumbent cut (else the lowest non-incumbent cut at
     candidX), INCUMBENT cuts replace the old incumbent slot.
-    Returns (state, slot)."""
+
+    A cut whose argmax found no valid vertex for some observation
+    (``parts.found`` False — the istar < 0 error of cuts.c:136-139, possible
+    when the pool holds only extreme-ray entries during feasibility mode) is
+    NOT stored: every write below is masked off and ``state.cut_ok`` records
+    the skip so the host loop can raise when it happens outside feasibility
+    recovery.  Returns (state, slot)."""
     K = state.cut_mask.shape[0]
     ids = jnp.arange(K)
     full = jnp.sum(state.cut_mask) >= K
@@ -248,15 +260,24 @@ def add_cut(pa: ProblemArrays, state: SDState, parts: CutParts, k, *,
 
     slot = jnp.where(full, evict_slot, free_slot).astype(jnp.int32)
 
+    ok = parts.found
+
+    def _set(arr, val):
+        return arr.at[slot].set(jnp.where(ok, val, arr[slot]))
+
     state = state._replace(
-        cut_alpha=state.cut_alpha.at[slot].set(parts.alpha),
-        cut_beta=state.cut_beta.at[slot].set(parts.beta),
-        cut_ns=state.cut_ns.at[slot].set(k),
-        cut_omega_cnt=state.cut_omega_cnt.at[slot].set(state.omega_cnt),
-        cut_istar=state.cut_istar.at[slot].set(parts.istar),
-        cut_mask=state.cut_mask.at[slot].set(True),
-        pi_cuts=state.pi_cuts.at[slot].set(0.0),
+        cut_alpha=_set(state.cut_alpha, parts.alpha),
+        cut_beta=_set(state.cut_beta, parts.beta),
+        cut_ns=_set(state.cut_ns, jnp.asarray(k, state.cut_ns.dtype)),
+        cut_omega_cnt=_set(state.cut_omega_cnt, state.omega_cnt),
+        cut_istar=_set(state.cut_istar, parts.istar),
+        cut_mask=_set(state.cut_mask, jnp.bool_(True)),
+        pi_cuts=_set(state.pi_cuts, jnp.asarray(0.0, state.pi_cuts.dtype)),
+        cut_ok=state.cut_ok & ok,
     )
     if incumbent:
-        state = state._replace(i_cut_idx=slot, i_cut_updt=k)
-    return state, slot
+        state = state._replace(
+            i_cut_idx=jnp.where(ok, slot, state.i_cut_idx),
+            i_cut_updt=jnp.where(ok, jnp.asarray(k, state.i_cut_updt.dtype),
+                                 state.i_cut_updt))
+    return state, jnp.where(ok, slot, state.i_cut_idx).astype(jnp.int32)

@@ -29,6 +29,7 @@ class EvalResult(NamedTuple):
     ci_low: float
     ci_high: float
     error: float         # 3.29 stdev / mean (reference inout.c:37 convention)
+    dropped: int = 0     # infeasible subproblem lanes excluded from the mean
 
 
 def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
@@ -69,9 +70,19 @@ def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
 
 
 def evaluate(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig, x,
-             key, *, max_obs: int = 200_000, eval_batch_fn=None) -> EvalResult:
+             key, *, max_obs: int = 200_000, eval_batch_fn=None,
+             max_dropped_frac: float = 0.01) -> EvalResult:
     """evaluate (evaluate.c:16-111): estimate c'x + E[h] to the configured
-    accuracy: stop when 3.92*stdev <= EVAL_ERROR*|mean| and count >= MIN."""
+    accuracy: stop when 3.92*stdev <= EVAL_ERROR*|mean| and count >= MIN.
+
+    An infeasible evaluation subproblem is an error in the reference
+    (evaluate.c:70-76).  Here lanes may fail individually (iteration limit,
+    genuine infeasibility without complete recourse); they are excluded from
+    the mean, COUNTED (EvalResult.dropped), warned about, and the evaluation
+    errors out when their fraction exceeds ``max_dropped_frac`` — silently
+    dropping lanes would bias the UB estimate."""
+    import warnings
+
     batch = cfg.EVAL_BATCH
     fn = eval_batch_fn or make_eval_batch(pa, spec, batch)
     x = jnp.asarray(x, pa.c1.dtype)
@@ -79,6 +90,7 @@ def evaluate(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig, x,
     tot = 0.0
     totsq = 0.0
     n = 0
+    n_drawn = 0
     mean = 0.0
     stdev = float("inf")
     while n < max_obs:
@@ -87,6 +99,7 @@ def evaluate(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig, x,
         tot += float(s)
         totsq += float(sq)
         n += int(ok)
+        n_drawn += batch
         if n > 1:
             mean = tot / n
             var = max((totsq - n * mean * mean) / (n - 1), 0.0)
@@ -94,10 +107,24 @@ def evaluate(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig, x,
         if n >= cfg.EVAL_MIN_ITER and 3.92 * stdev <= cfg.EVAL_ERROR * abs(mean):
             break
 
+    dropped = n_drawn - n
+    if dropped:
+        frac = dropped / max(n_drawn, 1)
+        if frac > max_dropped_frac:
+            raise RuntimeError(
+                f"evaluation dropped {dropped}/{n_drawn} infeasible "
+                f"subproblem lanes ({100 * frac:.2f}% > "
+                f"{100 * max_dropped_frac:.2f}%); the UB estimate would be "
+                "biased (evaluate.c:70-76 treats this as an error)")
+        warnings.warn(
+            f"evaluation dropped {dropped}/{n_drawn} infeasible subproblem "
+            "lanes; UB estimate excludes them", RuntimeWarning)
+
     first_cost = float(jnp.asarray(pa.c1 @ x))
     total = mean + first_cost
     return EvalResult(
         mean=total, stdev=stdev, count=n,
         ci_low=total - 1.645 * stdev, ci_high=total + 1.645 * stdev,
         error=3.29 * stdev / total if total else float("inf"),
+        dropped=dropped,
     )

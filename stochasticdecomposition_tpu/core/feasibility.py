@@ -148,6 +148,13 @@ def resolve_infeasibility(pa: ProblemArrays, state: SDState, cfg: SDConfig,
         if bool(state.sp_feas):
             break
 
+    # Feasibility restored: form the optimality cut formSDCut was about to
+    # build when the infeasible subproblem interrupted it (SDCut runs after
+    # resolveInfeasibility returns, cuts.c:40-56).  If the pool still holds
+    # only ray entries (cut_ok False) the cut is skipped, never stored.
+    if "cut_step" in substeps:
+        state = substeps["cut_step"](state)
+
     # Infeasible incumbent -> replace with the (feasible) candidate
     # (cuts.c:440-443, soln.c:62-94).
     if bool(state.infeas_incumb):

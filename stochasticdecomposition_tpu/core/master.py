@@ -88,12 +88,21 @@ def build_and_solve_master(pa: ProblemArrays, state: SDState, k,
     up_mask = jnp.isfinite(up_d)
     lo_mask = jnp.isfinite(lo_d)
 
-    G = jnp.concatenate([G_first, G_cut, G_f, G_up, G_lo], axis=0)
+    # eta floor: while NO optimality cut is active (possible in feasibility
+    # mode when the first subproblem was infeasible and its cut skipped),
+    # the free eta column would make the master unbounded; pin eta >= lb
+    # (the reference never reaches this state without erroring — its eta is
+    # free at master.c:434-435 but SDCut aborts on istar < 0, cuts.c:136-139).
+    G_eta = jnp.zeros((1, nv), dtype).at[0, n1].set(-1.0)
+    h_eta = -pa.lb[None]
+    eta_mask = ~jnp.any(state.cut_mask)[None]
+
+    G = jnp.concatenate([G_first, G_cut, G_f, G_up, G_lo, G_eta], axis=0)
     h = jnp.concatenate([h_first, h_cut, h_f,
                          jnp.where(up_mask, up_d, 1.0),
-                         jnp.where(lo_mask, -lo_d, 1.0)])
+                         jnp.where(lo_mask, -lo_d, 1.0), h_eta])
     gmask = jnp.concatenate([m_first, state.cut_mask, state.fcut_mask,
-                             up_mask, lo_mask])
+                             up_mask, lo_mask, eta_mask])
 
     res = solve_qp(Q, c, A_eq, b_eq, G, h,
                    ineq_mask=gmask, eq_mask=eq_mask, tol=tol)
@@ -110,7 +119,7 @@ def build_and_solve_master(pa: ProblemArrays, state: SDState, k,
                          jnp.where(pa.sense1 > 0, z_first, -z_first))
     pi_cuts = z[m1:m1 + K] * state.cut_mask
     z_up = z[m1 + K + F:m1 + K + F + n1]
-    z_lo = z[m1 + K + F + n1:]
+    z_lo = z[m1 + K + F + n1:m1 + K + F + 2 * n1]
     dj = z_lo - z_up
 
     return MasterResult(

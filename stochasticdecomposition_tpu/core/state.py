@@ -146,6 +146,9 @@ class SDState(NamedTuple):
     infeas_incumb: jnp.ndarray  # bool
     feas_cnt: jnp.ndarray       # int32
     master_ok: jnp.ndarray      # bool: last master solve converged
+    cut_ok: jnp.ndarray         # bool: last argmax found a valid vertex for
+    #                             every observation (istar >= 0 guard,
+    #                             cuts.c:136-139); a False cut is skipped
 
     # warm-start basis for the next subproblem solve (the reference gets
     # this for free from CPLEX's in-memory problem object; here the optimal
@@ -309,6 +312,7 @@ def init_state(pa: ProblemArrays, caps: Capacities, cfg: SDConfig,
         infeas_incumb=jnp.bool_(False),
         feas_cnt=jnp.int32(0),
         master_ok=jnp.bool_(True),
+        cut_ok=jnp.bool_(True),
         warm_basis=jnp.arange(pa.D.shape[1], pa.D.shape[1] + pa.D.shape[0],
                               dtype=jnp.int32),
         warm_atup=jnp.zeros(pa.D.shape[1] + pa.D.shape[0], bool),

@@ -34,9 +34,13 @@ from stochasticdecomposition_tpu.sampler import SamplerSpec, sample_omega
 def make_substeps(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig):
     """Jitted sub-pieces used by the host feasibility-mode loop
     (resolveInfeasibility, cuts.c:402-449): a subproblem-solve-plus-updates
-    step at the current candidate, and a master-only solve."""
+    step at the current candidate, a master-only solve, and the cut
+    formation formSDCut performs once feasibility is restored (the SDCut
+    call after resolveInfeasibility returns, cuts.c:40-56)."""
     tol = cfg.TOLERANCE
     dtype = pa.c1.dtype
+    batch_ = max(1, int(cfg.SAMPLE_INCREMENT))
+    scan_ = max(cfg.SCAN_LEN // batch_, 16) if batch_ > 1 else cfg.SCAN_LEN
 
     def subprob_update(state: SDState) -> SDState:
         res, state = warm_solve_subproblem(
@@ -58,10 +62,22 @@ def make_substeps(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig):
             dj_master=res.dj, eta=res.eta,
             master_ok=state.master_ok & res.ok)
 
+    def cut_step(state: SDState) -> SDState:
+        state = state._replace(cut_ok=jnp.bool_(True))
+        parts, state = form_cut(
+            pa, state, state.candid_x, state.k,
+            dual_stability=cfg.DUAL_STABILITY,
+            pi_eval_start=cfg.PI_EVAL_START,
+            pi_cycle=cfg.PI_CYCLE, scan_len=scan_)
+        state, _ = add_cut(pa, state, parts, state.k, incumbent=False,
+                           tol=tol)
+        return state
+
     import jax as _jax
     return {
         "subprob_update": _jax.jit(subprob_update),
         "master_step": _jax.jit(master_step),
+        "cut_step": _jax.jit(cut_step),
     }
 
 
@@ -140,7 +156,8 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
     def step(state: SDState) -> SDState:
         k = state.k + batch
         key, k_draw = jax.random.split(state.key)
-        state = state._replace(k=k, key=key, sp_feas=jnp.bool_(True))
+        state = state._replace(k=k, key=key, sp_feas=jnp.bool_(True),
+                               cut_ok=jnp.bool_(True))
 
         # 2. generateOmega + mean-centering + dedup (algo.c:145-152).
         # Batched-sampling mode (SAMPLE_INCREMENT > 1): k advances by the

@@ -161,7 +161,7 @@ def _triple_argmax_f32(H32, base_mask, old_mask, new_mask, *,
         while CHUNK * 2 <= budget and O % (CHUNK * 2) == 0:
             CHUNK *= 2
         kernel = _make_stream_kernel(S, O, CHUNK)
-        h_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        h_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     outs = pl.pallas_call(
         kernel,
@@ -183,7 +183,12 @@ def triple_masked_argmax(H, base_mask, old_mask, new_mask, *,
     fallback's ``_NEG`` sentinel where a mask selects nothing.
     """
     S, O = H.shape
-    H32 = H.astype(jnp.float32)
+    # Clamp into the finite f32 range before casting: f64 magnitudes beyond
+    # ~3.4e38 would overflow to inf/-inf and break the kernel's finite
+    # sentinel logic.  (f32-resolution ties may still pick a different —
+    # equally valid — vertex than the f64 XLA fallback; see cuts.py caller.)
+    f32max = jnp.asarray(jnp.finfo(jnp.float32).max, H.dtype)
+    H32 = jnp.clip(H, -f32max, f32max).astype(jnp.float32)
     ia, _, io, _, inw, _ = _triple_argmax_f32(
         H32, base_mask, old_mask, new_mask, interpret=interpret)
 

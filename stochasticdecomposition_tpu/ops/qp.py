@@ -75,9 +75,14 @@ def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
     A = A / rA[:, None] if me else A
     b = b / rA if me else b
 
-    # Convergence is tested relative to the data scale (costs ~ the dual
-    # residual's natural magnitude after equilibration).
-    scale = 1.0 + jnp.max(jnp.abs(c))
+    # Convergence is tested on residuals relative to their OWN data scale
+    # (dual residual vs costs, primal residuals vs rhs) rather than one
+    # global multiplier — a single 1+max|c| factor would loosen the primal
+    # feasibility and complementarity tests on large-cost problems toward
+    # the algorithmic TOLERANCE of 1e-3.
+    scale_d = 1.0 + jnp.max(jnp.abs(c))
+    scale_p = (1.0 + jnp.max(jnp.abs(b))) if me else jnp.asarray(1.0, dtype)
+    scale_g = (1.0 + jnp.max(jnp.abs(h))) if mi else jnp.asarray(1.0, dtype)
 
     # Initial point.
     v0 = jnp.zeros(n, dtype=dtype)
@@ -113,10 +118,11 @@ def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
         rg = G @ v + s - h
         mu = jnp.dot(s, z) / jnp.maximum(mi, 1)
 
-        res = jnp.maximum(jnp.max(jnp.abs(rd)),
-                          jnp.maximum(jnp.max(jnp.abs(rg)) if mi else 0.0,
-                                      jnp.max(jnp.abs(rp)) if me else 0.0))
-        converged = (res < tol * 10 * scale) & (mu < tol * scale)
+        res_rel = jnp.maximum(
+            jnp.max(jnp.abs(rd)) / scale_d,
+            jnp.maximum((jnp.max(jnp.abs(rg)) / scale_g) if mi else 0.0,
+                        (jnp.max(jnp.abs(rp)) / scale_p) if me else 0.0))
+        converged = (res_rel < tol * 10) & (mu < tol * scale_d)
 
         # Clamp the barrier weights: unbounded z/s ratios make the late KKT
         # systems unsolvable at emulated-f64 accuracy.
@@ -173,15 +179,15 @@ def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
     # iteration cap (possible under TPU f64 emulation), accept a KKT point at
     # 1e-6 accuracy — far tighter than the algorithmic tolerances consuming
     # these solutions (config.sd TOLERANCE is 1e-3).
-    soft = 1e-6 * scale
+    soft = 1e-6
     rd_f = Q @ v + c + (A.T @ y if me else 0.0) + G.T @ z
     rg_f = (G @ v + s - h) if mi else jnp.zeros(0, dtype)
     rp_f = (A @ v - b) if me else jnp.zeros(0, dtype)
     mu_f = (jnp.dot(s, z) / mi) if mi else jnp.asarray(0.0, dtype)
     res_f = jnp.max(jnp.concatenate([
-        jnp.abs(rd_f), jnp.abs(rg_f), jnp.abs(rp_f),
-        jnp.zeros(1, dtype)]))
-    done = done | ((res_f < soft) & (mu_f < soft))
+        jnp.abs(rd_f) / scale_d, jnp.abs(rg_f) / scale_g,
+        jnp.abs(rp_f) / scale_p, jnp.zeros(1, dtype)]))
+    done = done | ((res_f < soft) & (mu_f < soft * scale_d))
 
     # Undo the row equilibration so duals/slacks are in the caller's row
     # scaling: for G_s = G/r, stationarity gives z_orig = z_s / r.

@@ -213,12 +213,24 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
         at_upper0 = ~jnp.isfinite(lo) & jnp.isfinite(up)
         binv0 = jnp.eye(m, dtype=dtype)
     else:
-        basis0 = init_basis.astype(jnp.int32)
-        in_basis0 = jnp.zeros(nt, bool).at[basis0].set(True)
-        at_upper0 = (jnp.asarray(init_at_upper, bool) & ~in_basis0
-                     if init_at_upper is not None
-                     else (~jnp.isfinite(lo) & jnp.isfinite(up)) & ~in_basis0)
-        binv0 = _refactorize(sf, basis0)
+        basis_w = init_basis.astype(jnp.int32)
+        in_basis_w = jnp.zeros(nt, bool).at[basis_w].set(True)
+        at_upper_w = (jnp.asarray(init_at_upper, bool) & ~in_basis_w
+                      if init_at_upper is not None
+                      else (~jnp.isfinite(lo) & jnp.isfinite(up)) & ~in_basis_w)
+        binv_w = _refactorize(sf, basis_w)
+        # Singularity guard: a stale/ill-conditioned warm basis can invert to
+        # non-finite values (especially on the f32 jnp.linalg.inv path), which
+        # would NaN-poison xb and terminate the lane "optimal" with a NaN
+        # objective.  Demote such lanes to the cold all-slack start.
+        warm_ok = jnp.all(jnp.isfinite(binv_w))
+        basis_c = jnp.arange(n, n + m, dtype=jnp.int32)
+        in_basis_c = jnp.concatenate([jnp.zeros(n, bool), jnp.ones(m, bool)])
+        at_upper_c = ~jnp.isfinite(lo) & jnp.isfinite(up)
+        basis0 = jnp.where(warm_ok, basis_w, basis_c)
+        in_basis0 = jnp.where(warm_ok, in_basis_w, in_basis_c)
+        at_upper0 = jnp.where(warm_ok, at_upper_w, at_upper_c)
+        binv0 = jnp.where(warm_ok, binv_w, jnp.eye(m, dtype=dtype))
     xn0 = _nonbasic_values(sf, at_upper0, in_basis0)
     xb0 = _compute_xb(sf, binv0, basis0, xn0)
 
@@ -446,8 +458,13 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
             jnp.where(~jnp.isfinite(lo) & ~jnp.isfinite(up), FREE_NB,
                       jnp.where(final.at_upper, AT_UPPER, AT_LOWER)),
         ).astype(jnp.int32)
+        obj_l = c64_ @ x_full
+        # Non-finite guard: never report a NaN/inf objective as OPTIMAL
+        # (callers like make_eval_batch count ok lanes into the UB estimate).
+        status = jnp.where(jnp.isfinite(obj_l), status,
+                           jnp.int32(STATUS_ITER_LIMIT))
         return LPResult(
-            status=status, obj=c64_ @ x_full, y=x_full[:n], pi=pi_,
+            status=status, obj=obj_l, y=x_full[:n], pi=pi_,
             dj=dj_[:n], cstat=cstat_l[:n], rstat=cstat_l[n:],
             basis=final.basis, binv=final.binv.astype(out_dtype),
             iters=final.it,
@@ -492,6 +509,10 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
         jnp.where(~jnp.isfinite(lo) & ~jnp.isfinite(up), FREE_NB,
                   jnp.where(final.at_upper, AT_UPPER, AT_LOWER)),
     ).astype(jnp.int32)
+
+    # Non-finite guard (see lite path).
+    status = jnp.where(jnp.isfinite(obj) & jnp.all(jnp.isfinite(pi)), status,
+                       jnp.int32(STATUS_ITER_LIMIT))
 
     return LPResult(
         status=status,

@@ -119,13 +119,26 @@ class SDSolver:
         key = _key_from_seed(cfg.RUN_SEED[rep])
         key, eval_key = jax.random.split(key)
         state = init_state(self.pa, self.caps, cfg, self.mean_sol, key)
-        if resume_from:
-            from stochasticdecomposition_tpu.utils.checkpoint import load_state
-            state = load_state(resume_from, state)
-        t_setup = time.monotonic() - t0
         pool_alpha, pool_beta = [], []   # host-side feasibility cut pool
+        if resume_from:
+            from stochasticdecomposition_tpu.utils.checkpoint import (
+                load_checkpoint,
+            )
+            state, extras = load_checkpoint(resume_from, state)
+            if "eval_key" in extras:
+                eval_key = extras["eval_key"]
+            if "pool_alpha" in extras:
+                pool_alpha = extras["pool_alpha"]
+                pool_beta = extras["pool_beta"]
+            else:
+                # Old checkpoint without the host pool: reset the watermarks
+                # so update_feas_cut_pool rebuilds it from the restored
+                # sigma/delta pools instead of permanently losing the
+                # pre-checkpoint (ray x observation) cuts.
+                state = state._replace(f_updt=jnp.zeros(2, jnp.int32))
+        t_setup = time.monotonic() - t0
 
-        def _maybe_checkpoint(st):
+        def _maybe_checkpoint(st, ekey):
             if checkpoint_every and checkpoint_dir and \
                     int(st.k) % checkpoint_every == 0:
                 import os
@@ -134,8 +147,11 @@ class SDSolver:
                     save_state,
                 )
                 os.makedirs(checkpoint_dir, exist_ok=True)
-                save_state(os.path.join(
-                    checkpoint_dir, f"rep{rep:02d}_k{int(st.k):06d}.npz"), st)
+                save_state(
+                    os.path.join(checkpoint_dir,
+                                 f"rep{rep:02d}_k{int(st.k):06d}.npz"),
+                    st, eval_key=ekey,
+                    pool_alpha=pool_alpha, pool_beta=pool_beta)
 
         optimal = False
         while int(state.k) < cfg.MAX_ITER:
@@ -152,13 +168,20 @@ class SDSolver:
                         break
                     log(".")
             state = self.step(state)
-            _maybe_checkpoint(state)
+            _maybe_checkpoint(state, eval_key)
             if not bool(state.sp_feas):
                 # Feasibility mode (resolveInfeasibility, cuts.c:402-449).
                 log("F")
                 state, pool_alpha, pool_beta = resolve_infeasibility(
                     self.pa, state, cfg, self.substeps,
                     pool_alpha, pool_beta)
+            if not bool(state.cut_ok):
+                # A skipped cut while the subproblem solved feasibly means
+                # the argmax found no valid vertex for some observation —
+                # the istar < 0 hard error of the reference (cuts.c:136-139).
+                raise RuntimeError(
+                    f"SD cut formation failed at k={int(state.k)}: no valid "
+                    "dual vertex for some observation")
             if not bool(state.master_ok):
                 raise RuntimeError(f"master QP failed to converge at k={k+1}")
             if k % 100 == 0:

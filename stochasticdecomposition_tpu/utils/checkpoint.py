@@ -4,33 +4,73 @@ The reference has none (SURVEY.md §5: state lives in RAM, runs are short).
 For production preemptible-TPU runs the full SDState pytree (pools, cuts,
 incumbent, PRNG key) serializes to one .npz; restoring reproduces the
 replication bit-for-bit from the save point.
+
+Alongside SDState, host-side loop state is persisted so resumed runs match
+uninterrupted ones exactly:
+  * ``eval_key`` — the bootstrap full-test PRNG key (its split sequence
+    would otherwise restart and change which iteration the test passes at);
+  * ``pool_alpha``/``pool_beta`` — the host feasibility-cut pool
+    (updtFeasCutPool's accumulated (ray x observation) cuts, cuts.c:465-517;
+    state.f_updt's watermarks make the pool unreconstructable without them).
 """
 
 from __future__ import annotations
+
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from stochasticdecomposition_tpu.core.state import SDState
 
+_HOST_PREFIX = "__host_"
 
-def save_state(path: str, state: SDState) -> None:
+
+def save_state(path: str, state: SDState, *, eval_key=None,
+               pool_alpha: Optional[List[float]] = None,
+               pool_beta: Optional[List[np.ndarray]] = None) -> None:
     arrays = {f: np.asarray(getattr(state, f)) for f in SDState._fields}
+    if eval_key is not None:
+        arrays[_HOST_PREFIX + "eval_key"] = np.asarray(eval_key)
+    if pool_alpha:
+        arrays[_HOST_PREFIX + "pool_alpha"] = np.asarray(pool_alpha)
+        arrays[_HOST_PREFIX + "pool_beta"] = np.stack(pool_beta)
     np.savez_compressed(path, **arrays)
 
 
 def load_state(path: str, like: SDState) -> SDState:
     """Load a checkpoint; ``like`` supplies dtypes/structure (a fresh
     init_state with identical capacities)."""
+    state, _ = load_checkpoint(path, like)
+    return state
+
+
+def load_checkpoint(path: str, like: SDState) -> Tuple[SDState, dict]:
+    """Load a checkpoint plus the host-side extras dict (possibly empty for
+    checkpoints written before the extras existed)."""
     import jax.numpy as jnp
 
     data = np.load(path)
     kwargs = {}
     for f in SDState._fields:
         ref = getattr(like, f)
+        if f not in data:
+            # Field added after this checkpoint was written: keep the fresh
+            # init_state value.
+            kwargs[f] = ref
+            continue
         arr = data[f]
         if arr.shape != np.asarray(ref).shape:
             raise ValueError(
                 f"checkpoint field {f} has shape {arr.shape}, expected "
                 f"{np.asarray(ref).shape} (capacities/config must match)")
         kwargs[f] = jnp.asarray(arr, np.asarray(ref).dtype)
-    return SDState(**kwargs)
+
+    extras = {}
+    if _HOST_PREFIX + "eval_key" in data:
+        extras["eval_key"] = jnp.asarray(data[_HOST_PREFIX + "eval_key"])
+    if _HOST_PREFIX + "pool_alpha" in data:
+        extras["pool_alpha"] = [float(a)
+                                for a in data[_HOST_PREFIX + "pool_alpha"]]
+        extras["pool_beta"] = [np.asarray(b)
+                               for b in data[_HOST_PREFIX + "pool_beta"]]
+    return SDState(**kwargs), extras

@@ -34,6 +34,52 @@ def test_feasibility_cuts_resolve_and_converge():
     assert r.incumb_x.sum() >= 6.0 - 1e-6
 
 
+def test_ray_only_pool_skips_cut_then_recovers():
+    # When the FIRST subproblem solve is infeasible, the dual-vertex pool
+    # holds only extreme-ray entries; SDCut must not form an optimality cut
+    # from them (the istar < 0 guard, cuts.c:136-139).  After feasibility is
+    # restored, the cut for that iteration IS formed (cuts.c:40-56).
+    import jax
+
+    from stochasticdecomposition_tpu.core.feasibility import (
+        resolve_infeasibility,
+    )
+    from stochasticdecomposition_tpu.core.state import init_state
+
+    solver, _, _ = _solver("feastest", MAX_ITER=50, EVAL_FLAG=False)
+    cfg = solver.cfg
+    state = init_state(solver.pa, solver.caps, cfg, solver.mean_sol,
+                       jax.random.PRNGKey(cfg.RUN_SEED[0] % (2 ** 31)))
+    # Drive steps until the first infeasible subproblem appears (the mean-
+    # value solution is infeasible under the d=6 observation).
+    for _ in range(20):
+        state = solver.step(state)
+        if not bool(state.sp_feas):
+            break
+    assert not bool(state.sp_feas), "expected an infeasible subproblem"
+    if int(state.k) == 1:
+        # Ray-only pool on the very first iteration: the cut was skipped.
+        assert not bool(state.cut_ok)
+        assert int(np.asarray(state.cut_mask).sum()) == 0, \
+            "no optimality cut may be formed from a ray-only pool"
+    n_cuts_before = int(np.asarray(state.cut_mask).sum())
+    state, pa_, pb_ = resolve_infeasibility(
+        solver.pa, state, cfg, solver.substeps, [], [])
+    assert bool(state.sp_feas)
+    # Feasibility restored: the interrupted iteration's cut was formed.
+    assert bool(state.cut_ok)
+    assert int(np.asarray(state.cut_mask).sum()) > n_cuts_before
+
+
+def test_evaluate_raises_on_material_infeasible_fraction():
+    # feastest's mean-value solution is infeasible for the d=6 scenario
+    # (30% of draws): evaluation must surface that instead of silently
+    # biasing the mean (evaluate.c:70-76 errors on infeasible subproblems).
+    solver, _, _ = _solver("feastest", MAX_ITER=50, EVAL_FLAG=False)
+    with pytest.raises(RuntimeError, match="dropped"):
+        solver.evaluate_x(solver.mean_sol)
+
+
 def test_compromise_solution():
     solver, ef_obj, ef_x = _solver(
         "lands", MAX_ITER=120, EVAL_FLAG=False,
