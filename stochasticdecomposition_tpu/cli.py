@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="CKPT.npz",
                    help="resume replication 0 from a saved state")
     p.add_argument("--seed-offset", dest="seed_offset", type=int, default=0)
+    p.add_argument("--mesh", dest="mesh", default=None, metavar="RxO",
+                   help="run replications over a (rep x obs) device mesh, "
+                        "e.g. --mesh 2x4 (requires R*O <= device count)")
+    p.add_argument("--distributed", dest="distributed", action="store_true",
+                   help="initialize the JAX multi-host runtime before "
+                        "building the mesh (coordinates from the "
+                        "environment: COORDINATOR_ADDRESS/NUM_PROCESSES/"
+                        "PROCESS_ID, or cloud auto-detection)")
     return p
 
 
@@ -58,6 +66,12 @@ def main(argv=None) -> int:
 
     import jax
     jax.config.update("jax_enable_x64", True)
+
+    if args.distributed:
+        from stochasticdecomposition_tpu.parallel.distributed import (
+            maybe_initialize,
+        )
+        maybe_initialize()
 
     cfg = load_config(args.config_path) if args.config_path else SDConfig()
     if args.eval_flag is not None:
@@ -108,9 +122,20 @@ def main(argv=None) -> int:
     if args.checkpoint_every and not ckpt_dir:
         ckpt_dir = os.path.join(args.output_dir, "twoSD_tpu",
                                 args.prob_name, "checkpoints")
+    mesh = None
+    if args.mesh:
+        from stochasticdecomposition_tpu.parallel.mesh import make_mesh
+        try:
+            n_rep, n_obs = (int(v) for v in args.mesh.lower().split("x"))
+        except ValueError:
+            print(f"--mesh expects RxO (e.g. 2x4), got {args.mesh!r}",
+                  file=sys.stderr)
+            return 2
+        mesh = make_mesh(n_rep=n_rep, n_obs=n_obs,
+                         devices=jax.devices()[:n_rep * n_obs])
     result = solver.run(log=log, checkpoint_every=args.checkpoint_every,
                         checkpoint_dir=ckpt_dir,
-                        resume_from=args.resume_from)
+                        resume_from=args.resume_from, mesh=mesh)
     print()
     for r in result.replications:
         sdio.print_optimization_summary(r, cfg.MAX_ITER)

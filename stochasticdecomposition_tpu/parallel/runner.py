@@ -1,0 +1,201 @@
+"""Production multi-device replication driver.
+
+The reference runs replications sequentially in one process (algo.c:36-76).
+Here replications are the framework's data-parallel axis: a wave of
+MULTIPLE_REP SD cells steps as ONE vmapped+sharded program over a
+(rep, obs) device mesh (parallel/mesh.py), while the host keeps the exact
+per-replication control flow of the sequential driver (runner.py):
+
+  * the optimality gate (optimal.c:23-42) fires per replication, with each
+    replication's own eval_key stream — identical stopping decisions to the
+    sequential path;
+  * finished replications are masked: the vmapped step computes their next
+    state but a per-rep select keeps the old one (no counter drift);
+  * subproblem infeasibility pulls THAT replication's cell to a single-rep
+    state, runs the host feasibility loop (resolveInfeasibility,
+    cuts.c:402-449) on the jitted substeps, and scatters the resolved cell
+    back into the wave;
+  * results hand off to the same compromise epilogue (compromise.c) as the
+    sequential path.
+
+Multi-host: initialize jax.distributed (parallel/distributed.py) before
+building the mesh; jax.devices() then spans all hosts and the same code
+shards replications across them.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stochasticdecomposition_tpu.config import SDConfig
+from stochasticdecomposition_tpu.core.feasibility import resolve_infeasibility
+from stochasticdecomposition_tpu.core.state import init_state
+from stochasticdecomposition_tpu.core.step import make_step
+from stochasticdecomposition_tpu.core.stopping import pre_test
+from stochasticdecomposition_tpu.parallel.mesh import (
+    make_mesh, state_shardings,
+)
+
+
+def _extract_rep(stacked, i: int):
+    """Pull replication i out of a stacked state (device gather)."""
+    return jax.tree.map(lambda a: a[i], stacked)
+
+
+def _scatter_rep(stacked, i: int, st):
+    """Write a single-rep state back into slot i of the stacked state."""
+    return jax.tree.map(lambda a, b: a.at[i].set(b), stacked, st)
+
+
+def make_masked_multi_rep_step(pa, spec, cfg: SDConfig, mesh):
+    """The production wave step: vmapped over replications, sharded over
+    (rep, obs), with finished replications masked to their old state."""
+    base = make_step(pa, spec, cfg, jit=False)
+
+    def masked(state, done):
+        new = base(state)
+        return jax.tree.map(lambda o, n: jnp.where(done, o, n), state, new)
+
+    shardings = state_shardings(mesh, with_rep_axis=True)
+    done_sharding = NamedSharding(mesh, P("rep"))
+    return jax.jit(jax.vmap(masked), in_shardings=(shardings, done_sharding),
+                   out_shardings=shardings, donate_argnums=0)
+
+
+def run_replications_meshed(solver, mesh=None, log=lambda s: None
+                            ) -> List["ReplicationResult"]:
+    """Run all MULTIPLE_REP replications over the device mesh in waves of
+    the mesh's rep-axis size.  Matches SDSolver.solve_replication per
+    replication (same seeds, same stopping decisions, same feasibility
+    handling); returns the same ReplicationResult list."""
+    from stochasticdecomposition_tpu.runner import (
+        ReplicationResult, _key_from_seed,
+    )
+    from stochasticdecomposition_tpu.core.compromise import (
+        batch_entry_from_state,
+    )
+
+    cfg = solver.cfg
+    if mesh is None:
+        mesh = make_mesh(n_rep=1)
+    W = mesh.shape["rep"]
+    n_obs = mesh.shape["obs"]
+    if solver.caps.O % n_obs:
+        raise ValueError(
+            f"omega capacity {solver.caps.O} not divisible by the obs mesh "
+            f"axis {n_obs}")
+
+    shardings = state_shardings(mesh, with_rep_axis=True)
+    done_sharding = NamedSharding(mesh, P("rep"))
+    step = make_masked_multi_rep_step(solver.pa, solver.spec, cfg, mesh)
+
+    results: List[ReplicationResult] = []
+    R = cfg.MULTIPLE_REP
+    for wave_start in range(0, R, W):
+        reps = list(range(wave_start, min(wave_start + W, R)))
+        t0 = time.monotonic()
+        # Exactly the sequential path's per-replication key derivation
+        # (solve_replication): split(PRNGKey(seed)) -> (run key, eval key).
+        run_keys, eval_keys = [], []
+        for rep in reps:
+            k, ek = jax.random.split(_key_from_seed(cfg.RUN_SEED[rep]))
+            run_keys.append(k)
+            eval_keys.append(ek)
+        while len(run_keys) < W:          # pad a short final wave with rep 0
+            run_keys.append(run_keys[0])
+            eval_keys.append(eval_keys[0])
+
+        states = [init_state(solver.pa, solver.caps, cfg, solver.mean_sol, k)
+                  for k in run_keys]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        stacked = jax.device_put(stacked, shardings)
+        t_setup = time.monotonic() - t0
+
+        done = np.array([i >= len(reps) for i in range(W)])  # padding = done
+        optimal = np.zeros(W, bool)
+        pools = {i: ([], []) for i in range(W)}  # host feasibility cut pools
+
+        while not done.all():
+            ks = np.asarray(stacked.k)
+            stable = np.asarray(stacked.dual_stable)
+            cand = np.asarray(stacked.candid_est)
+            inc = np.asarray(stacked.incumb_est)
+            for i in range(len(reps)):
+                if done[i]:
+                    continue
+                if ks[i] >= cfg.MAX_ITER:
+                    done[i] = True
+                    continue
+                # Optimality gate (optimal.c:23-42), per replication.
+                if ks[i] > cfg.MIN_ITER and bool(stable[i]) and \
+                        pre_test(float(cand[i]), float(inc[i]),
+                                 cfg.PRE_EPSILON):
+                    eval_keys[i], sub = jax.random.split(eval_keys[i])
+                    if bool(solver.full_test(_extract_rep(stacked, i), sub)):
+                        done[i] = True
+                        optimal[i] = True
+                        log(">")
+                        continue
+                    log(".")
+            if done.all():
+                break
+
+            stacked = step(stacked, jnp.asarray(done))
+
+            # Per-replication feasibility / failure handling.
+            spf = np.asarray(stacked.sp_feas)
+            cut_ok = np.asarray(stacked.cut_ok)
+            master_ok = np.asarray(stacked.master_ok)
+            for i in range(len(reps)):
+                if done[i]:
+                    continue
+                if not bool(spf[i]):
+                    log("F")
+                    st_i = _extract_rep(stacked, i)
+                    pa_, pb_ = pools[i]
+                    st_i, pa_, pb_ = resolve_infeasibility(
+                        solver.pa, st_i, cfg, solver.substeps, pa_, pb_)
+                    pools[i] = (pa_, pb_)
+                    stacked = _scatter_rep(stacked, i, st_i)
+                elif not bool(cut_ok[i]):
+                    raise RuntimeError(
+                        f"SD cut formation failed in replication {reps[i]} "
+                        f"at k={int(ks[i]) + 1}")
+                if not bool(master_ok[i]):
+                    raise RuntimeError(
+                        f"master QP failed in replication {reps[i]} at "
+                        f"k={int(ks[i]) + 1}")
+            kmin = int(np.min(np.asarray(stacked.k)[~done])) \
+                if not done.all() else 0
+            if kmin % 100 == 0:
+                log(f"\nIteration-{kmin:4d}: ")
+
+        total = time.monotonic() - t0
+        for i, rep in enumerate(reps):
+            st = _extract_rep(stacked, i)
+            results.append(ReplicationResult(
+                rep=rep,
+                iterations=int(st.k),
+                incumb_x=np.asarray(st.incumb_x),
+                incumb_est=float(st.incumb_est),
+                optimal=bool(optimal[i]),
+                lp_count=int(st.lp_cnt),
+                unique_omegas=int(st.omega_cnt),
+                pool_sizes=dict(
+                    omega=int(st.omega_cnt), lam=int(st.lambda_cnt),
+                    sigma=int(st.sigma_cnt),
+                    cuts=int(jnp.sum(st.cut_mask))),
+                time_total=total,
+                time_setup=t_setup,
+                quad_scalar=float(st.quad_scalar),
+                cuts_active=int(jnp.sum(st.cut_mask)),
+                feas_rounds=int(st.feas_cnt),
+                batch_entry=batch_entry_from_state(st),
+            ))
+    return results

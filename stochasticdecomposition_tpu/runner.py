@@ -219,19 +219,39 @@ class SDSolver:
 
     def run(self, log=lambda s: None, checkpoint_every: int = 0,
             checkpoint_dir: str | None = None,
-            resume_from: str | None = None) -> RunResult:
+            resume_from: str | None = None,
+            mesh=None) -> RunResult:
         """Full multi-replication run with the compromise epilogue
-        (algo.c:36-96)."""
+        (algo.c:36-96).
+
+        ``mesh``: a (rep, obs) jax.sharding.Mesh — replications then run
+        data-parallel as one vmapped+sharded program (parallel/runner.py)
+        with identical per-replication stopping/feasibility behavior;
+        checkpointing is per-replication only in the sequential path.
+        """
         cfg = self.cfg
-        reps = []
-        for rep in range(cfg.MULTIPLE_REP):
-            r = self.solve_replication(
-                rep, log=log, checkpoint_every=checkpoint_every,
-                checkpoint_dir=checkpoint_dir,
-                resume_from=resume_from if rep == 0 else None)
+        if mesh is not None:
+            if checkpoint_every or resume_from:
+                raise ValueError(
+                    "checkpoint/resume is supported on the sequential path "
+                    "only; drop --mesh or the checkpoint flags")
+            from stochasticdecomposition_tpu.parallel.runner import (
+                run_replications_meshed,
+            )
+            reps = run_replications_meshed(self, mesh, log=log)
             if cfg.EVAL_FLAG:
-                r.eval = self.evaluate_x(r.incumb_x, rep)
-            reps.append(r)
+                for r in reps:
+                    r.eval = self.evaluate_x(r.incumb_x, r.rep)
+        else:
+            reps = []
+            for rep in range(cfg.MULTIPLE_REP):
+                r = self.solve_replication(
+                    rep, log=log, checkpoint_every=checkpoint_every,
+                    checkpoint_dir=checkpoint_dir,
+                    resume_from=resume_from if rep == 0 else None)
+                if cfg.EVAL_FLAG:
+                    r.eval = self.evaluate_x(r.incumb_x, rep)
+                reps.append(r)
         result = RunResult(problem=self.sp.name, replications=reps)
 
         if cfg.COMPROMISE_PROB and len(reps) > 1:
