@@ -127,3 +127,75 @@ def build_and_solve_master(pa: ProblemArrays, state: SDState, k,
         pi_first=pi_first, pi_cuts=pi_cuts, dj=dj,
         obj=res.obj, ok=res.converged,
     )
+
+
+def build_and_solve_master_lp(pa: ProblemArrays, state: SDState,
+                              k) -> MasterResult:
+    """LP master (MASTER_TYPE=0, master.c:41 with PROB_LP): the plain
+    Benders/L-shaped master in x-space — no proximal term, no d-shift.
+
+    The reference's LP branch is vestigial (solveQPMaster would dereference
+    the NULL incumbX at master.c:63 and fullTest aborts at optimal.c:104-108),
+    so this is the *completed* LP mode: variables [x; eta],
+
+        min  c'x + eta
+        s.t. A1 x {sense} b1
+             (k/ns_j) eta + beta_j'x >= alpha_j + (k/ns_j - 1) lb
+             beta_f'x >= alpha_f
+             l <= x <= u,  eta >= lb
+
+    solved by the bounded-variable simplex.  Inactive cut slots become
+    all-zero rows with zero rhs (trivially satisfied).  The eta >= lb floor
+    replaces the QP path's no-cuts guard and is a valid Benders
+    initialization (eta estimates E[h] >= lb)."""
+    from stochasticdecomposition_tpu.ops.simplex import (
+        STATUS_OPTIMAL, solve_lp,
+    )
+
+    dtype = pa.c1.dtype
+    n1 = pa.c1.shape[0]
+    m1 = pa.b1.shape[0]
+    K = state.cut_mask.shape[0]
+    F = state.fcut_mask.shape[0]
+    nv = n1 + 1
+    kf = jnp.asarray(k, dtype)
+
+    ns = jnp.maximum(state.cut_ns, 1).astype(dtype)
+    eta_coef = jnp.where(state.cut_mask, kf / ns, 0.0)
+    cut_rhs = jnp.where(state.cut_mask,
+                        state.cut_alpha + (kf / ns - 1.0) * pa.lb, 0.0)
+    cut_beta = jnp.where(state.cut_mask[:, None], state.cut_beta, 0.0)
+    f_beta = jnp.where(state.fcut_mask[:, None], state.fcut_beta, 0.0)
+    f_rhs = jnp.where(state.fcut_mask, state.fcut_alpha, 0.0)
+
+    D = jnp.concatenate([
+        jnp.concatenate([pa.A1, jnp.zeros((m1, 1), dtype)], axis=1),
+        jnp.concatenate([cut_beta, eta_coef[:, None]], axis=1),
+        jnp.concatenate([f_beta, jnp.zeros((F, 1), dtype)], axis=1),
+    ], axis=0)
+    b = jnp.concatenate([pa.b1, cut_rhs, f_rhs])
+    sense = jnp.concatenate([
+        pa.sense1,
+        jnp.ones(K, jnp.int32),        # cut rows are >=
+        jnp.ones(F, jnp.int32),
+    ])
+    c = jnp.concatenate([pa.c1, jnp.ones(1, dtype)])
+    lo = jnp.concatenate([pa.l1, pa.lb[None]])
+    hi = jnp.concatenate([pa.u1, jnp.full(1, jnp.inf, dtype)])
+
+    res = solve_lp(D, sense, c, lo, hi, b,
+                   max_iter=8 * (D.shape[0] + nv) + 256)
+    x = res.y[:n1]
+    eta = res.y[n1]
+    d = x - state.candid_x
+
+    # solve_lp's duals already follow the CPLEX minimization convention
+    # (>= rows nonnegative); cut-row duals feed the eviction slack test.
+    pi_first = res.pi[:m1]
+    pi_cuts = res.pi[m1:m1 + K] * state.cut_mask
+
+    return MasterResult(
+        x=x, eta=eta, d_norm2=d @ d,
+        pi_first=pi_first, pi_cuts=pi_cuts, dj=res.dj[:n1],
+        obj=res.obj, ok=res.status == STATUS_OPTIMAL,
+    )

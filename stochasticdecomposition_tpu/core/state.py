@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from stochasticdecomposition_tpu.config import SDConfig
+from stochasticdecomposition_tpu.config import MASTER_QP, SDConfig
 from stochasticdecomposition_tpu.prob import StagedProblem
 
 
@@ -296,7 +296,8 @@ def init_state(pa: ProblemArrays, caps: Capacities, cfg: SDConfig,
         gamma=jnp.asarray(0.0, dtype),
         norm_dk=jnp.asarray(0.0, dtype),
         norm_dk_1=jnp.asarray(0.0, dtype),
-        i_cut_idx=jnp.int32(0),
+        # LP masters have no incumbent cut slot (iCutIdx = -1, setup.c:113-119).
+        i_cut_idx=jnp.int32(0 if cfg.MASTER_TYPE == MASTER_QP else -1),
         i_cut_updt=jnp.int32(0),
         incumb_chg=jnp.bool_(False),
         pi_first=jnp.zeros(pa.b1.shape[0], dtype),

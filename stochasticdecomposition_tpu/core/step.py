@@ -16,11 +16,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from stochasticdecomposition_tpu.config import SDConfig
+from stochasticdecomposition_tpu.config import MASTER_LP, SDConfig
 from stochasticdecomposition_tpu.core.cuts import (
     add_cut, form_cut, max_cut_height,
 )
-from stochasticdecomposition_tpu.core.master import build_and_solve_master
+from stochasticdecomposition_tpu.core.master import (
+    build_and_solve_master, build_and_solve_master_lp,
+)
 from stochasticdecomposition_tpu.core.state import (
     Capacities, ProblemArrays, SDState,
 )
@@ -51,16 +53,26 @@ def make_substeps(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig):
                                       jnp.bool_(False), state.k, tol)
         return state
 
+    lp_master = cfg.MASTER_TYPE == MASTER_LP
+    master_solve = build_and_solve_master_lp if lp_master \
+        else build_and_solve_master
+
     def master_step(state: SDState) -> SDState:
-        res = build_and_solve_master(pa, state, state.k)
+        res = master_solve(pa, state, state.k)
         candid_est = pa.c1 @ res.x + max_cut_height(pa, state, res.x, state.k)
-        return state._replace(
+        state = state._replace(
             candid_x=res.x, candid_est=candid_est,
             gamma=candid_est - state.incumb_est,
             norm_dk=res.d_norm2,
             pi_first=res.pi_first, pi_cuts=res.pi_cuts,
             dj_master=res.dj, eta=res.eta,
             master_ok=state.master_ok & res.ok)
+        if lp_master:
+            # No incumbent in LP mode (setup.c:113-119): track the candidate
+            # for reporting/feasibility checks (inout.c:27-30 writes candidX).
+            state = state._replace(incumb_x=res.x, incumb_est=candid_est,
+                                   gamma=jnp.asarray(0.0, dtype))
+        return state
 
     def cut_step(state: SDState) -> SDState:
         state = state._replace(cut_ok=jnp.bool_(True))
@@ -86,6 +98,9 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
     """Build the jitted SD iteration for a staged problem."""
     tol = cfg.TOLERANCE
     dtype = pa.c1.dtype
+    lp_master = cfg.MASTER_TYPE == MASTER_LP
+    master_solve = build_and_solve_master_lp if lp_master \
+        else build_and_solve_master
 
     def _form_sd_cut(state: SDState, x, o_idx, new_o, k, incumbent: bool):
         """formSDCut (cuts.c:22-89): solve subproblem, run stochastic
@@ -223,24 +238,27 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
                                        incumbent=False, tol=tol)
 
         # 4. incumbent cut every TAU iterations (algo.c:161-166).
-        if batch == 1:
-            do_inc = jnp.mod(k - state.i_cut_updt, cfg.TAU) == 0
-        else:
-            do_inc = (k - state.i_cut_updt) >= cfg.TAU
-        state = lax.cond(
-            do_inc,
-            lambda s: _form_sd_cut(s, s.incumb_x, s.last_o_idx,
-                                   jnp.bool_(False), k, incumbent=True)[0],
-            lambda s: s, state)
-
         # 5. incumbent improvement check (algo.c:169-171).
-        do_chk = ~state.incumb_chg & (k > 1)
-        state = lax.cond(do_chk,
-                         lambda s: _check_improvement(s, cand_slot, k),
-                         lambda s: s, state)
+        # Both are QP-master machinery (LP mode has no incumbent,
+        # setup.c:113-119) — statically compiled out under MASTER_TYPE=0.
+        if not lp_master:
+            if batch == 1:
+                do_inc = jnp.mod(k - state.i_cut_updt, cfg.TAU) == 0
+            else:
+                do_inc = (k - state.i_cut_updt) >= cfg.TAU
+            state = lax.cond(
+                do_inc,
+                lambda s: _form_sd_cut(s, s.incumb_x, s.last_o_idx,
+                                       jnp.bool_(False), k, incumbent=True)[0],
+                lambda s: s, state)
 
-        # 6. master QP (algo.c:174, master.c:18-88).
-        res = build_and_solve_master(pa, state, k)
+            do_chk = ~state.incumb_chg & (k > 1)
+            state = lax.cond(do_chk,
+                             lambda s: _check_improvement(s, cand_slot, k),
+                             lambda s: s, state)
+
+        # 6. master QP/LP (algo.c:174, master.c:18-88).
+        res = master_solve(pa, state, k)
         candid_est = pa.c1 @ res.x + max_cut_height(pa, state, res.x, k)
         state = state._replace(
             candid_x=res.x,
@@ -254,6 +272,11 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
             eta=res.eta,
             master_ok=state.master_ok & res.ok,
         )
+        if lp_master:
+            # Candidate doubles as the reported solution (inout.c:27-30);
+            # feasibility checks and cut heights key off incumb_x.
+            state = state._replace(incumb_x=res.x, incumb_est=candid_est,
+                                   gamma=jnp.asarray(0.0, dtype))
         return state
 
     chunk = max(1, int(getattr(cfg, "CHECK_EVERY", 1)))

@@ -120,6 +120,9 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
         done = np.array([i >= len(reps) for i in range(W)])  # padding = done
         optimal = np.zeros(W, bool)
         pools = {i: ([], []) for i in range(W)}  # host feasibility cut pools
+        # LP masters stop on MAX_ITER only (optimal.c:104-108; see runner.py).
+        from stochasticdecomposition_tpu.config import MASTER_LP
+        stat_stop = cfg.MASTER_TYPE != MASTER_LP
 
         while not done.all():
             ks = np.asarray(stacked.k)
@@ -133,9 +136,9 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
                     done[i] = True
                     continue
                 # Optimality gate (optimal.c:23-42), per replication.
-                if ks[i] > cfg.MIN_ITER and bool(stable[i]) and \
-                        pre_test(float(cand[i]), float(inc[i]),
-                                 cfg.PRE_EPSILON):
+                if stat_stop and ks[i] > cfg.MIN_ITER and bool(stable[i]) \
+                        and pre_test(float(cand[i]), float(inc[i]),
+                                     cfg.PRE_EPSILON):
                     eval_keys[i], sub = jax.random.split(eval_keys[i])
                     if bool(solver.full_test(_extract_rep(stacked, i), sub)):
                         done[i] = True

@@ -153,12 +153,19 @@ class SDSolver:
                     st, eval_key=ekey,
                     pool_alpha=pool_alpha, pool_beta=pool_beta)
 
+        # LP masters have no bootstrap lower bound (fullTest aborts at
+        # optimal.c:104-108): the statistical stop is unavailable and the
+        # run terminates on MAX_ITER only — the documented reference gap,
+        # handled explicitly.
+        from stochasticdecomposition_tpu.config import MASTER_LP
+        stat_stop = cfg.MASTER_TYPE != MASTER_LP
+
         optimal = False
         while int(state.k) < cfg.MAX_ITER:
             k = int(state.k)
             # Optimality gate (optimal.c:23-42): min iterations + stable duals
             # + pre-test, then the bootstrap full test.
-            if k > cfg.MIN_ITER and bool(state.dual_stable):
+            if stat_stop and k > cfg.MIN_ITER and bool(state.dual_stable):
                 if pre_test(float(state.candid_est), float(state.incumb_est),
                             cfg.PRE_EPSILON):
                     eval_key, sub = jax.random.split(eval_key)

@@ -5,6 +5,7 @@ import tempfile
 
 import jax
 import numpy as np
+import pytest
 
 from stochasticdecomposition_tpu.config import SDConfig
 from stochasticdecomposition_tpu.models.extensive import (
@@ -92,6 +93,7 @@ def test_blocks_parse_and_sample():
     assert abs(frac - 0.6) < 0.05
 
 
+@pytest.mark.slow
 def test_blocks_sd_converges():
     core, tim, stoc = _parse(_STOC_BLOCKS)
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
@@ -104,6 +106,7 @@ def test_blocks_sd_converges():
     assert abs(ev.mean - ef_obj) / abs(ef_obj) < 0.01
 
 
+@pytest.mark.slow
 def test_continuous_distributions_run():
     core, tim, stoc = _parse(_STOC_NORMAL)
     sp = attach_stoc(decompose(core, tim, stoc), stoc)

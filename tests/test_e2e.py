@@ -22,6 +22,7 @@ def _setup(parse, **cfg_kw):
     return SDSolver(sp, cfg), ef_obj
 
 
+@pytest.mark.slow
 def test_lands_converges():
     solver, ef_obj = _setup(load_instance("lands"),
                             MAX_ITER=400, EVAL_FLAG=False)
@@ -35,6 +36,7 @@ def test_lands_converges():
     assert abs(r.incumb_est - ef_obj) / abs(ef_obj) < 0.05
 
 
+@pytest.mark.slow
 def test_pgp2like_converges():
     solver, ef_obj = _setup(load_instance("pgp2like"),
                             MAX_ITER=500, EVAL_FLAG=False)
@@ -44,6 +46,7 @@ def test_pgp2like_converges():
     assert -0.01 < excess < 0.01
 
 
+@pytest.mark.slow
 def test_synthetic_random_C_converges():
     solver, ef_obj = _setup(
         parse_synthetic(seed=2, n_rv=2, support=2, rand_C=2, n2=6, m2=4),
@@ -54,6 +57,7 @@ def test_synthetic_random_C_converges():
     assert -0.01 < excess < 0.015
 
 
+@pytest.mark.slow
 def test_replication_reproducible():
     solver, _ = _setup(load_instance("lands"), MAX_ITER=50, EVAL_FLAG=False)
     r1 = solver.solve_replication(0)

@@ -20,6 +20,7 @@ def _solver(name, **cfg_kw):
     return SDSolver(sp, SDConfig(**cfg_kw)), ef_obj, ef_x
 
 
+@pytest.mark.slow
 def test_feasibility_cuts_resolve_and_converge():
     # feastest's mean-value solution (x1+x2 around 4) makes the subproblem
     # infeasible under the d=6 observation -> feasibility mode must trigger
@@ -34,6 +35,7 @@ def test_feasibility_cuts_resolve_and_converge():
     assert r.incumb_x.sum() >= 6.0 - 1e-6
 
 
+@pytest.mark.slow
 def test_ray_only_pool_skips_cut_then_recovers():
     # When the FIRST subproblem solve is infeasible, the dual-vertex pool
     # holds only extreme-ray entries; SDCut must not form an optimality cut
@@ -80,6 +82,7 @@ def test_evaluate_raises_on_material_infeasible_fraction():
         solver.evaluate_x(solver.mean_sol)
 
 
+@pytest.mark.slow
 def test_compromise_solution():
     solver, ef_obj, ef_x = _solver(
         "lands", MAX_ITER=120, EVAL_FLAG=False,

@@ -5,6 +5,7 @@ import tempfile
 
 import jax
 import numpy as np
+import pytest
 
 from stochasticdecomposition_tpu.config import SDConfig, load_config
 
@@ -52,6 +53,7 @@ COMPROMISE_PROB	1
     assert cfg.apply_tolerance_preset("l").EPSILON == 0.01
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     from stochasticdecomposition_tpu.cli import main
 
@@ -66,6 +68,7 @@ def test_cli_end_to_end(tmp_path):
     assert header.startswith("Replication\tIterations\tLB estimate")
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip():
     from stochasticdecomposition_tpu.core.state import init_state
     from stochasticdecomposition_tpu.models.instances import load_instance
@@ -99,6 +102,7 @@ def test_checkpoint_roundtrip():
     assert int(a.k) == int(b.k)
 
 
+@pytest.mark.slow
 def test_sharded_eval_matches_single(monkeypatch):
     import jax.numpy as jnp
 
@@ -127,6 +131,7 @@ def test_sharded_eval_matches_single(monkeypatch):
     np.testing.assert_allclose(float(sq_sh), float(sq1), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_cli_checkpoint_and_resume(tmp_path):
     """--checkpoint-every writes .npz saves; --resume restarts from one."""
     from stochasticdecomposition_tpu.cli import main

@@ -7,6 +7,7 @@ import pytest
 from stochasticdecomposition_tpu.ops.qp import solve_qp
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(6))
 def test_random_qp_kkt(seed):
     rng = np.random.default_rng(seed)

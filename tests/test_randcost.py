@@ -7,6 +7,7 @@ random cost coefficients (the baa99-style configuration in BASELINE.md).
 
 import jax
 import numpy as np
+import pytest
 
 from stochasticdecomposition_tpu.config import SDConfig
 from stochasticdecomposition_tpu.core.randcost import height_table_randcost
@@ -28,6 +29,7 @@ def _setup(seed, **kw):
     return sp, ef_obj
 
 
+@pytest.mark.slow
 def test_randcost_stoch_check_oracle():
     sp, _ = _setup(21, n_rv=1, support=2, rand_d=2, n2=6, m2=4)
     assert sp.rv.nd == 2
@@ -54,6 +56,7 @@ def test_randcost_stoch_check_oracle():
     assert exact >= 0.8 * ocnt
 
 
+@pytest.mark.slow
 def test_randcost_converges():
     sp, ef_obj = _setup(21, n_rv=1, support=2, rand_d=2, n2=6, m2=4)
     cfg = SDConfig(MAX_ITER=400, EVAL_FLAG=False)
@@ -64,6 +67,7 @@ def test_randcost_converges():
     assert -0.01 < excess < 0.01
 
 
+@pytest.mark.slow
 def test_randcost_mixed_b_and_d():
     sp, ef_obj = _setup(33, n_rv=2, support=2, rand_d=1, n2=5, m2=4)
     assert sp.rv.nb == 2 and sp.rv.nd == 1

@@ -55,6 +55,7 @@ def _check_heights(solver, state, x):
 
 @pytest.mark.parametrize("name,steps,min_exact_frac", [
     ("lands", 40, 1.0), ("pgp2like", 60, 0.8)])
+@pytest.mark.slow
 def test_stoch_check_property(name, steps, min_exact_frac):
     solver, state = _run_steps(name, steps)
     ocnt, exact = _check_heights(solver, state, state.candid_x)
@@ -64,6 +65,7 @@ def test_stoch_check_property(name, steps, min_exact_frac):
     assert exact >= min_exact_frac * ocnt
 
 
+@pytest.mark.slow
 def test_stoch_check_random_C():
     parse = parse_synthetic(seed=11, n_rv=2, support=2, rand_C=2)
     solver, state = _run_steps(parse, 40)
@@ -72,6 +74,7 @@ def test_stoch_check_random_C():
     assert exact >= 1   # at minimum the newest observation is exact
 
 
+@pytest.mark.slow
 def test_cut_is_lower_bound_everywhere():
     # Validity: each cut's height at arbitrary x must lower-bound the true
     # expected recourse over stored observations (with the empirical weights),
@@ -108,6 +111,7 @@ def test_cut_is_lower_bound_everywhere():
     assert checked >= 1
 
 
+@pytest.mark.slow
 def test_pallas_triple_argmax_interpret_matches_xla():
     """Kernel vs jnp fallback (interpret mode; both VMEM-whole and DMA-stream
     paths, plus the empty-mask sentinel case)."""

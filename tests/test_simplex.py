@@ -45,6 +45,7 @@ def _random_lp(rng):
     return D, sense, d, l, u, b
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(8))
 def test_random_lps_match_scipy(seed):
     rng = np.random.default_rng(seed)
@@ -113,6 +114,7 @@ def test_farkas_certificate():
     assert np.all(ray @ np.array(D) <= 1e-9)
 
 
+@pytest.mark.slow
 def test_vmapped_batch():
     rng = np.random.default_rng(7)
     D, sense, d, l, u, b = _random_lp(rng)

@@ -28,6 +28,7 @@ def test_suite_registry_shapes():
         assert len(sp.rv_order) >= kw["n_rv"]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["cep1like", "baa99-20like"])
 def test_suite_sd_converges_loose(name):
     """Mid-scale members run SD to a sane estimate (vs extensive form when
@@ -45,6 +46,7 @@ def test_suite_sd_converges_loose(name):
     assert abs(r.incumb_est - ev.mean) / abs(ev.mean) < 0.15
 
 
+@pytest.mark.slow
 def test_4nodelike_steps():
     """A mid-large member (74x186 second stage, 12 RVs) advances and forms
     cuts without blowing pools."""
