@@ -1,0 +1,106 @@
+"""Batched sampling (SAMPLE_INCREMENT > 1): the TPU inversion of the
+reference's one-LP-per-iteration economics (SURVEY.md §7, the vestigial -s
+flag of sd_experiments.sh:11).
+
+k counts SAMPLES (matching the reference's iteration==sample bookkeeping),
+advancing by the batch size per step; all batch subproblems solve as one
+vmapped simplex dispatch and one SD cut covers the enlarged sample.  These
+tests pin the semantics: objective parity with the sequential mode, correct
+k bookkeeping, and a working statistical stop.  Also covers CHECK_EVERY
+(chunked host stopping checks) and EVAL_F32_PIVOT.
+"""
+
+import numpy as np
+import pytest
+
+from stochasticdecomposition_tpu.config import SDConfig
+from stochasticdecomposition_tpu.models.extensive import (
+    enumerate_scenarios, solve_extensive_form,
+)
+from stochasticdecomposition_tpu.models.instances import load_instance
+from stochasticdecomposition_tpu.prob import decompose
+from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
+
+
+def _setup(name, **cfg_kw):
+    core, tim, stoc = load_instance(name)
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    outs, probs = enumerate_scenarios(stoc, sp.rv_order)
+    ef_obj, _ = solve_extensive_form(sp, outs, probs)
+    return SDSolver(sp, SDConfig(**cfg_kw)), ef_obj
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("batch", [4, 16])
+def test_batched_sampling_objective_parity(batch):
+    # Same sample budget as the sequential runs of test_e2e (k counts
+    # samples); the solution must reach the extensive-form optimum within
+    # the same tolerance as batch=1.
+    solver, ef_obj = _setup("lands", MAX_ITER=160, EVAL_FLAG=False,
+                            SAMPLE_INCREMENT=batch)
+    r = solver.solve_replication(0)
+    assert r.iterations <= 160
+    # k advances by the batch size per step.
+    assert r.iterations % batch == 0 or r.iterations == 160
+    assert r.lp_count >= r.iterations  # one LP per sample (+incumbent cuts)
+    ev = solver.evaluate_x(r.incumb_x)
+    excess = (ev.mean - ef_obj) / abs(ef_obj)
+    assert -0.01 < excess < 0.02, \
+        f"batch={batch} solution off by {excess:.4f}"
+
+
+@pytest.mark.slow
+def test_batched_sampling_statistical_stop():
+    # The dual-stability window is step-scaled (SCAN_LEN/batch); the
+    # bootstrap full test must still terminate the run before MAX_ITER on
+    # an easy instance.
+    solver, ef_obj = _setup("lands", MAX_ITER=1600, EVAL_FLAG=False,
+                            SAMPLE_INCREMENT=8, SCAN_LEN=128,
+                            EPSILON=0.01)
+    r = solver.solve_replication(0)
+    assert r.optimal, "statistical stop did not fire in batched mode"
+    assert r.iterations < 1600
+    ev = solver.evaluate_x(r.incumb_x)
+    excess = (ev.mean - ef_obj) / abs(ef_obj)
+    assert -0.01 < excess < 0.02
+
+
+@pytest.mark.slow
+def test_check_every_chunked_stepping_matches():
+    # CHECK_EVERY=4 runs 4 fused iterations per dispatch; a MAX_ITER-stop
+    # run must produce the same trajectory as per-iteration dispatch.
+    import jax
+
+    from stochasticdecomposition_tpu.core.state import init_state
+    from stochasticdecomposition_tpu.core.step import make_step
+
+    core, tim, stoc = load_instance("lands")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    cfg1 = SDConfig(MAX_ITER=40, EVAL_FLAG=False)
+    cfg4 = SDConfig(MAX_ITER=40, EVAL_FLAG=False, CHECK_EVERY=4)
+    s1 = SDSolver(sp, cfg1)
+    step1 = s1.step
+    step4 = make_step(s1.pa, s1.spec, cfg4)
+
+    st1 = init_state(s1.pa, s1.caps, cfg1, s1.mean_sol, jax.random.PRNGKey(7))
+    st4 = init_state(s1.pa, s1.caps, cfg4, s1.mean_sol, jax.random.PRNGKey(7))
+    for _ in range(8):
+        st1 = step1(st1)
+    for _ in range(2):
+        st4 = step4(st4)
+    assert int(st1.k) == int(st4.k) == 8
+    np.testing.assert_allclose(np.asarray(st4.candid_x),
+                               np.asarray(st1.candid_x), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(float(st4.incumb_est), float(st1.incumb_est),
+                               rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_eval_f32_pivot_statistically_accurate():
+    solver, ef_obj = _setup("pgp2like", MAX_ITER=120, EVAL_FLAG=False)
+    r = solver.solve_replication(0)
+    ev64 = solver.evaluate_x(r.incumb_x)
+    solver.cfg.EVAL_F32_PIVOT = True
+    solver.eval_batch_fn = None          # rebuild with f32 pivots
+    ev32 = solver.evaluate_x(r.incumb_x)
+    assert abs(ev32.mean - ev64.mean) / abs(ev64.mean) < 5e-3
