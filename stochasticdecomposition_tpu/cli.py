@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="CKPT.npz",
                    help="resume replication 0 from a saved state")
     p.add_argument("--seed-offset", dest="seed_offset", type=int, default=0)
+    p.add_argument("--metrics-every", dest="metrics_every", type=int,
+                   default=0, metavar="N",
+                   help="write a per-iteration JSONL metrics stream "
+                        "(metrics_repNN.jsonl) every N iterations")
+    p.add_argument("--time-phases", dest="time_phases", action="store_true",
+                   help="estimate per-phase times (master/subproblem/"
+                        "optimality/argmax) for detailedResults.csv via "
+                        "substep dispatch timing")
     p.add_argument("--mesh", dest="mesh", default=None, metavar="RxO",
                    help="run replications over a (rep x obs) device mesh, "
                         "e.g. --mesh 2x4 (requires R*O <= device count)")
@@ -133,17 +141,21 @@ def main(argv=None) -> int:
             return 2
         mesh = make_mesh(n_rep=n_rep, n_obs=n_obs,
                          devices=jax.devices()[:n_rep * n_obs])
+    out_dir = os.path.join(args.output_dir, "twoSD_tpu", args.prob_name)
+    sdio.decompose_summary(sp, out=print)
     result = solver.run(log=log, checkpoint_every=args.checkpoint_every,
                         checkpoint_dir=ckpt_dir,
-                        resume_from=args.resume_from, mesh=mesh)
+                        resume_from=args.resume_from, mesh=mesh,
+                        metrics_every=args.metrics_every,
+                        metrics_dir=out_dir if args.metrics_every else None,
+                        time_phases=args.time_phases)
     print()
     for r in result.replications:
         sdio.print_optimization_summary(r, cfg.MAX_ITER)
         if r.eval is not None:
             sdio.print_evaluation_summary(r.eval)
 
-    out_dir = os.path.join(args.output_dir, "twoSD_tpu", args.prob_name)
-    sdio.write_all(out_dir, result)
+    sdio.write_all(out_dir, result, sp=sp, max_iter=cfg.MAX_ITER)
     print(f"\nResults written to {out_dir}")
     return 0
 

@@ -125,6 +125,9 @@ class SDConfig:
     # dispatch overhead and may overshoot the stop by up to CHECK_EVERY-1
     # iterations.
     CHECK_EVERY: int = 1
+    # HBM budget for the static pools; solver construction fails loudly
+    # (core/state.py audit_capacities) instead of OOMing mid-run.
+    MEMORY_BUDGET_GB: float = 12.0
 
     def __post_init__(self):
         if self.MULTIPLE_REP == 1:
@@ -162,6 +165,7 @@ _INT_KEYS = {
 _FLOAT_KEYS = {
     "TOLERANCE", "MIN_QUAD_SCALAR", "MAX_QUAD_SCALAR", "R1", "R2", "R3",
     "PERCENT_PASS", "EVAL_ERROR", "PRE_EPSILON", "EPSILON",
+    "MEMORY_BUDGET_GB",
 }
 _BOOL_KEYS = {"EVAL_FLAG", "DUAL_STABILITY", "COMPROMISE_PROB"}
 

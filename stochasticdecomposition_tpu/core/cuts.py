@@ -104,7 +104,7 @@ def _accumulate(pa: ProblemArrays, state: SDState, istar, o_valid, k):
 
 def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
              dual_stability: bool, pi_eval_start: int, pi_cycle: int,
-             scan_len: int):
+             scan_len: int, batch: int = 1):
     """SDCut (cuts.c:91-194): argmax over the vertex pool for every
     observation, weighted cut coefficients, and the dual-stability update.
 
@@ -172,21 +172,25 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
         ratio = cumm_old / jnp.where(cumm_all == 0.0, 1.0, cumm_all)
         ratio = jnp.where(cumm_all == 0.0, 1.0, ratio)
 
-        # Rolling window indexed by the number of ratios written.  For the
-        # reference configuration (one sample per iteration, PI_CYCLE=1) this
-        # coincides with the k % SCAN_LEN slot of cuts.c:172; in batched-
-        # sampling mode the window is a step count, so the caller passes a
-        # batch-scaled scan_len.
-        slot = jnp.mod(state.ratio_cnt, scan_len)
+        # Rolling window indexed by the STEP number k/batch, mirroring the
+        # reference's pi_ratio[numSamples % SCAN_LEN] (cuts.c:172): the
+        # candidate and incumbent cuts of one iteration share a slot (the
+        # second write overwrites the first), and the window counts
+        # iterations, NOT form_cut calls.  In batched-sampling mode the
+        # caller passes a batch-scaled scan_len so the window spans the same
+        # number of steps.
+        step_idx = (k // batch) if batch > 1 else k
+        slot = jnp.mod(step_idx, scan_len)
         pi_ratio = jnp.where(pi_eval, state.pi_ratio.at[slot].set(ratio),
                              state.pi_ratio)
         ratio_cnt = jnp.where(pi_eval, state.ratio_cnt + 1, state.ratio_cnt)
 
         # variance over the window (calcVariance, cuts.c:366-396); only
-        # meaningful once the window has fully wrapped (cuts.c:173-176).
+        # meaningful once the window has fully wrapped — the reference gates
+        # on numSamples - PI_EVAL_START > SCAN_LEN (cuts.c:173-176).
         window = pi_ratio[:scan_len]
         var = jnp.var(window) * scan_len / (scan_len - 1)
-        have_window = ratio_cnt > scan_len
+        have_window = (step_idx - pi_eval_start // max(batch, 1)) > scan_len
         variance = jnp.where(have_window, var, 1.0)
 
         stable = ~((jnp.abs(variance) >= 2e-6) | (ratio < 0.95))

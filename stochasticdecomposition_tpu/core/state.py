@@ -227,6 +227,63 @@ def derive_capacities(sp: StagedProblem, cfg: SDConfig) -> Capacities:
                       F=cfg.max_cuts(n1), B=B, scan=cfg.SCAN_LEN)
 
 
+def estimate_pool_bytes(sp: StagedProblem, caps: Capacities,
+                        cfg: SDConfig) -> dict:
+    """Static-pool memory breakdown (bytes) at the derived capacities.
+
+    The reference preallocates the same pools logically, but in host RAM
+    with sparse vectors (setup.c:136-144); on TPU they are dense device
+    arrays whose footprint must fit HBM — delta is [L, O] and the
+    random-cost psi/phi tables multiply by nd, so storm-class runs at
+    MAX_ITER=5000 can reach tens of GB if unchecked."""
+    rv = sp.rv
+    n1 = sp.first.A.shape[1]
+    m2, n2 = sp.second.D.shape
+    R = len(rv.omega_mean)
+    nlr = max(len(rv.lambda_rows), 1)
+    nCc = max(len(rv.C_cols), 1)
+    nCr = max(len(np.unique(rv.rv_C_cols)) if rv.nC else 0, 1)
+    nd = rv.nd
+    O, L, S, K, F, B = caps.O, caps.L, caps.S, caps.K, caps.F, caps.B
+    fb = 8 if cfg.DTYPE == "float64" else 4
+
+    out = {
+        "omega": O * R * fb + O * 4,
+        "lambda": L * nlr * fb,
+        "sigma": S * (1 + nCc) * fb + S * 9,
+        "delta_pib": L * O * fb,
+        "delta_piC": L * O * nCr * fb if rv.nC else 0,
+        "cuts": K * (O * 4 + n1 * fb + fb + 8) + F * (n1 + 1) * fb,
+    }
+    if nd > 0:
+        out["basis_phi"] = B * nd * m2 * fb
+        out["basis_psi"] = B * nd * n2 * fb
+        out["basis_other"] = B * ((n2 + m2) * (1 + fb) + nd * 5 + O + 16)
+    out["total"] = sum(out.values())
+    return out
+
+
+def audit_capacities(sp: StagedProblem, caps: Capacities,
+                     cfg: SDConfig) -> dict:
+    """Fail loudly (instead of OOMing mid-run) when the static pools exceed
+    the configured HBM budget; returns the byte breakdown."""
+    est = estimate_pool_bytes(sp, caps, cfg)
+    budget = cfg.MEMORY_BUDGET_GB * 2 ** 30
+    # The donated step keeps ~one copy live; leave headroom for the
+    # compiler's temporaries and the (re)factorization workspaces.
+    if est["total"] * 1.25 > budget:
+        detail = ", ".join(f"{k}={v / 2**20:.0f}MiB"
+                           for k, v in sorted(est.items(), key=lambda kv: -kv[1])
+                           if k != "total")
+        raise MemoryError(
+            f"static pools need ~{est['total'] / 2**30:.2f} GiB "
+            f"(+25% headroom) > MEMORY_BUDGET_GB={cfg.MEMORY_BUDGET_GB}: "
+            f"{detail}.  Reduce MAX_ITER / MAX_OMEGA / MAX_LAMBDA / "
+            f"MAX_BASES, raise SAMPLE_INCREMENT (fewer pool entries per "
+            f"sample), or raise MEMORY_BUDGET_GB if the device allows.")
+    return est
+
+
 def init_state(pa: ProblemArrays, caps: Capacities, cfg: SDConfig,
                x0: jnp.ndarray, key) -> SDState:
     """Fresh replication state (newCell, setup.c:67-186 / cleanCellType)."""

@@ -80,7 +80,7 @@ def make_substeps(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig):
             pa, state, state.candid_x, state.k,
             dual_stability=cfg.DUAL_STABILITY,
             pi_eval_start=cfg.PI_EVAL_START,
-            pi_cycle=cfg.PI_CYCLE, scan_len=scan_)
+            pi_cycle=cfg.PI_CYCLE, scan_len=scan_, batch=batch_)
         state, _ = add_cut(pa, state, parts, state.k, incumbent=False,
                            tol=tol)
         return state
@@ -116,7 +116,7 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
             dual_stability=cfg.DUAL_STABILITY,
             pi_eval_start=cfg.PI_EVAL_START,
             pi_cycle=cfg.PI_CYCLE,
-            scan_len=eff_scan)
+            scan_len=eff_scan, batch=batch)
         state, slot = add_cut(pa, state, parts, k, incumbent=incumbent,
                               tol=tol)
         return state, slot
@@ -233,7 +233,7 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
                 pa, state, state.candid_x, k,
                 dual_stability=cfg.DUAL_STABILITY,
                 pi_eval_start=cfg.PI_EVAL_START,
-                pi_cycle=cfg.PI_CYCLE, scan_len=eff_scan)
+                pi_cycle=cfg.PI_CYCLE, scan_len=eff_scan, batch=batch)
             state, cand_slot = add_cut(pa, state, parts, k,
                                        incumbent=False, tol=tol)
 

@@ -130,6 +130,7 @@ def pallas_path_available(S: int, O: int) -> bool:
     """Whether a TPU kernel path exists for an [S, O] f32 height table."""
     if O % 128 != 0:
         return False
+    S = ((S + 7) // 8) * 8          # sublane padding (see _triple_argmax_f32)
     mask_bytes = S * _MASK_ROW_BYTES
     if S * O * 4 + mask_bytes <= _VMEM_BUDGET:
         return True
@@ -144,6 +145,19 @@ def _triple_argmax_f32(H32, base_mask, old_mask, new_mask, *,
     from jax.experimental.pallas import tpu as pltpu
 
     S, O = H32.shape
+    # Mosaic requires HBM memref slices 8-aligned along the sublane dim
+    # ("Slice shape along dimension 0 must be aligned to tiling (8)"): pad
+    # the pool axis.  Padded rows carry the sentinel and a zero mask, so
+    # they are never selected.
+    if S % 8:
+        pad = 8 - S % 8
+        H32 = jnp.concatenate(
+            [H32, jnp.full((pad, O), _NEG32, jnp.float32)], axis=0)
+        zpad = jnp.zeros(pad, bool)
+        base_mask = jnp.concatenate([base_mask, zpad])
+        old_mask = jnp.concatenate([old_mask, zpad])
+        new_mask = jnp.concatenate([new_mask, zpad])
+        S = S + pad
     mask_bits = (base_mask.astype(jnp.int32)
                  + 2 * old_mask.astype(jnp.int32)
                  + 4 * new_mask.astype(jnp.int32)).reshape(S, 1)

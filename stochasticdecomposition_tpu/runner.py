@@ -51,6 +51,13 @@ class ReplicationResult:
     cuts_active: int = 0
     feas_rounds: int = 0
     batch_entry: Optional[object] = None   # compromise artifacts
+    # Per-phase seconds (runTime analog, twoSD.h:87-99).  The SD iteration
+    # is ONE fused device program, so these are substep-dispatch estimates
+    # produced by the --time-phases diagnostics mode; -1 = not measured.
+    time_master: float = -1.0
+    time_subprob: float = -1.0
+    time_opttest: float = -1.0
+    time_argmax: float = -1.0
 
 
 @dataclasses.dataclass
@@ -104,6 +111,8 @@ class SDSolver:
         self.pa = stage_problem(sp, dtype)
         self.spec = build_sampler_from(sp)
         self.caps = derive_capacities(sp, cfg)
+        from stochasticdecomposition_tpu.core.state import audit_capacities
+        self.pool_bytes = audit_capacities(sp, cfg=cfg, caps=self.caps)
         self.step = make_step(self.pa, self.spec, cfg)
         self.substeps = make_substeps(self.pa, self.spec, cfg)
         self.full_test = make_full_test(self.pa, cfg, cfg.MAX_ITER)
@@ -113,7 +122,9 @@ class SDSolver:
     def solve_replication(self, rep: int = 0, log=lambda s: None,
                           checkpoint_every: int = 0,
                           checkpoint_dir: str | None = None,
-                          resume_from: str | None = None) -> ReplicationResult:
+                          resume_from: str | None = None,
+                          metrics=None,
+                          time_phases: bool = False) -> ReplicationResult:
         cfg = self.cfg
         t0 = time.monotonic()
         key = _key_from_seed(cfg.RUN_SEED[rep])
@@ -161,6 +172,7 @@ class SDSolver:
         stat_stop = cfg.MASTER_TYPE != MASTER_LP
 
         optimal = False
+        n_full_tests = 0
         while int(state.k) < cfg.MAX_ITER:
             k = int(state.k)
             # Optimality gate (optimal.c:23-42): min iterations + stable duals
@@ -169,12 +181,15 @@ class SDSolver:
                 if pre_test(float(state.candid_est), float(state.incumb_est),
                             cfg.PRE_EPSILON):
                     eval_key, sub = jax.random.split(eval_key)
+                    n_full_tests += 1
                     if bool(self.full_test(state, sub)):
                         optimal = True
                         log(">")
                         break
                     log(".")
             state = self.step(state)
+            if metrics is not None:
+                metrics.record(state)
             _maybe_checkpoint(state, eval_key)
             if not bool(state.sp_feas):
                 # Feasibility mode (resolveInfeasibility, cuts.c:402-449).
@@ -195,6 +210,15 @@ class SDSolver:
                 log(f"\nIteration-{k:4d}: ")
 
         total = time.monotonic() - t0
+        phase = {}
+        if time_phases:
+            from stochasticdecomposition_tpu.utils.metrics import (
+                estimate_phase_times,
+            )
+            phase = estimate_phase_times(
+                self, state, eval_key, iterations=int(state.k),
+                lp_count=int(state.lp_cnt), full_tests=n_full_tests,
+                tau=cfg.TAU)
         return ReplicationResult(
             rep=rep,
             iterations=int(state.k),
@@ -213,6 +237,7 @@ class SDSolver:
             cuts_active=int(jnp.sum(state.cut_mask)),
             feas_rounds=int(state.feas_cnt),
             batch_entry=batch_entry_from_state(state),
+            **phase,
         )
 
     def evaluate_x(self, x, rep: int = 0) -> EvalResult:
@@ -227,7 +252,9 @@ class SDSolver:
     def run(self, log=lambda s: None, checkpoint_every: int = 0,
             checkpoint_dir: str | None = None,
             resume_from: str | None = None,
-            mesh=None) -> RunResult:
+            mesh=None, metrics_every: int = 0,
+            metrics_dir: str | None = None,
+            time_phases: bool = False) -> RunResult:
         """Full multi-replication run with the compromise epilogue
         (algo.c:36-96).
 
@@ -252,10 +279,27 @@ class SDSolver:
         else:
             reps = []
             for rep in range(cfg.MULTIPLE_REP):
-                r = self.solve_replication(
-                    rep, log=log, checkpoint_every=checkpoint_every,
-                    checkpoint_dir=checkpoint_dir,
-                    resume_from=resume_from if rep == 0 else None)
+                metrics = None
+                if metrics_every and metrics_dir:
+                    import os
+
+                    from stochasticdecomposition_tpu.utils.metrics import (
+                        MetricsRecorder,
+                    )
+                    os.makedirs(metrics_dir, exist_ok=True)
+                    metrics = MetricsRecorder(
+                        os.path.join(metrics_dir,
+                                     f"metrics_rep{rep:02d}.jsonl"),
+                        every=metrics_every)
+                try:
+                    r = self.solve_replication(
+                        rep, log=log, checkpoint_every=checkpoint_every,
+                        checkpoint_dir=checkpoint_dir,
+                        resume_from=resume_from if rep == 0 else None,
+                        metrics=metrics, time_phases=time_phases)
+                finally:
+                    if metrics is not None:
+                        metrics.close()
                 if cfg.EVAL_FLAG:
                     r.eval = self.evaluate_x(r.incumb_x, rep)
                 reps.append(r)

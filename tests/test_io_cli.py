@@ -66,6 +66,29 @@ def test_cli_end_to_end(tmp_path):
     assert (out / "results.jsonl").exists()
     header = (out / "detailedResults.csv").read_text().splitlines()[0]
     assert header.startswith("Replication\tIterations\tLB estimate")
+    # summary.dat (algo.c:29-31): decompose summary + per-rep sections.
+    summary = (out / "summary.dat").read_text()
+    assert "Replication-1" in summary
+    assert "First stage" in summary
+
+
+@pytest.mark.slow
+def test_cli_metrics_and_phase_times(tmp_path):
+    from stochasticdecomposition_tpu.cli import main
+
+    rc = main(["-p", "lands", "-o", str(tmp_path), "-e", "0",
+               "--max-iter", "30", "--metrics-every", "5", "--time-phases"])
+    assert rc == 0
+    out = tmp_path / "twoSD_tpu" / "lands"
+    metrics = (out / "metrics_rep00.jsonl").read_text().splitlines()
+    assert len(metrics) >= 5
+    import json as _json
+    rec = _json.loads(metrics[0])
+    assert {"k", "candid_est", "incumb_est", "quad_scalar"} <= set(rec)
+    # Timer columns populated (not the -1 fused markers).
+    row = (out / "detailedResults.csv").read_text().splitlines()[1].split("\t")
+    t_master, t_sub, t_opt, t_arg = map(float, row[4:8])
+    assert t_master > 0 and t_sub > 0 and t_arg > 0
 
 
 @pytest.mark.slow
