@@ -114,32 +114,31 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
     pi_ratio/dual_stable update.
     """
     has_rand_d = int(pa.rv_d_cols.shape[0]) > 0
+    dtype = state.sigma_pib.dtype
+    kf = jnp.asarray(k, dtype)
+    # 10% holdout split (computeIstar:147-157): "old" vertices were found
+    # at ck <= k - (0.1k + 1); "new" ones after.
+    ns_eff = k - jnp.floor(0.1 * kf + 1).astype(k.dtype)
+
     if has_rand_d:
         from stochasticdecomposition_tpu.core.randcost import (
-            accumulate_randcost, height_table_randcost,
+            accumulate_randcost, triple_argmax_randcost,
         )
 
-        H, pool_mask, o_valid = height_table_randcost(pa, state, x)
         ck_arr = state.basis_ck
+        # Fused blockwise reduction: never materializes the [B, nd, O]
+        # gather or masked height tables (the v2.0 analog of the plain
+        # path's Pallas kernel).
+        i_all, h_all, i_old, h_old, i_new, h_new, o_valid = \
+            triple_argmax_randcost(pa, state, x,
+                                   ck_arr <= ns_eff, ck_arr > ns_eff)
         accumulate = lambda st, istar, ov, kk: accumulate_randcost(
             pa, st, istar, ov, kk)
     else:
         H, s_valid, o_valid = height_table(pa, state, x)
-        pool_mask = jnp.broadcast_to(s_valid[:, None], H.shape)
         ck_arr = state.sigma_ck
-        accumulate = lambda st, istar, ov, kk: _accumulate(
-            pa, st, istar, ov, kk)
-    kf = jnp.asarray(k, H.dtype)
-
-    if dual_stability:
-        # pi_eval gate (cuts.c:112-113): every PI_CYCLE iters past the start.
-        pi_eval = (k > pi_eval_start) & (jnp.mod(k, pi_cycle) == 0) \
-            if pi_cycle > 1 else (k > pi_eval_start)
-        # 10% holdout split (computeIstar:147-157): "old" vertices were found
-        # at ck <= k - (0.1k + 1); "new" ones after.
-        ns_eff = k - jnp.floor(0.1 * kf + 1).astype(k.dtype)
-        old_mask = pool_mask & (ck_arr <= ns_eff)[:, None]
-        new_mask = pool_mask & (ck_arr > ns_eff)[:, None]
+        om1 = s_valid & (ck_arr <= ns_eff)
+        nm1 = s_valid & (ck_arr > ns_eff)
 
         # Plain path on TPU: one fused Pallas pass produces all three masked
         # (argmax, max) reductions with a single read of H.
@@ -147,26 +146,32 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
             pallas_path_available, triple_masked_argmax,
         )
 
-        use_pallas = (not has_rand_d and jax_backend_is_tpu()
-                      and pallas_path_available(H.shape[0], H.shape[1]))
-        if use_pallas:
-
-            s_valid_1d = pool_mask[:, 0] if pool_mask.ndim == 2 else pool_mask
-            om1 = s_valid_1d & (ck_arr <= ns_eff)
-            nm1 = s_valid_1d & (ck_arr > ns_eff)
+        if jax_backend_is_tpu() and \
+                pallas_path_available(H.shape[0], H.shape[1]):
             i_all, h_all, i_old, h_old, i_new, h_new = triple_masked_argmax(
-                H, s_valid_1d, om1, nm1)
+                H, s_valid, om1, nm1)
         else:
-            i_old, h_old = _argmax_masked2(H, old_mask)
-            i_new, h_new = _argmax_masked2(H, new_mask)
-            i_all, h_all = _argmax_masked2(H, pool_mask)
+            i_all, h_all = _argmax_masked(H, s_valid)
+            if dual_stability:
+                i_old, h_old = _argmax_masked(H, om1)
+                i_new, h_new = _argmax_masked(H, nm1)
+            else:
+                i_old = i_new = i_all
+                h_old = h_new = h_all
+        accumulate = lambda st, istar, ov, kk: _accumulate(
+            pa, st, istar, ov, kk)
+
+    if dual_stability:
+        # pi_eval gate (cuts.c:112-113): every PI_CYCLE iters past the start.
+        pi_eval = (k > pi_eval_start) & (jnp.mod(k, pi_cycle) == 0) \
+            if pi_cycle > 1 else (k > pi_eval_start)
         use_new = h_new > h_old
         istar_split = jnp.where(use_new, i_new, i_old)
         h_split = jnp.maximum(h_old, h_new)
         istar = jnp.where(pi_eval, istar_split, i_all)
         hstar = jnp.where(pi_eval, h_split, h_all)
 
-        w = jnp.where(o_valid, state.omega_w, 0).astype(H.dtype)
+        w = jnp.where(o_valid, state.omega_w, 0).astype(dtype)
         cumm_old = jnp.sum(w * jnp.maximum(h_old - pa.lb, 0.0))
         cumm_all = jnp.sum(w * jnp.maximum(h_split - pa.lb, 0.0))
         ratio = cumm_old / jnp.where(cumm_all == 0.0, 1.0, cumm_all)
@@ -198,7 +203,7 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
         state = state._replace(pi_ratio=pi_ratio, dual_stable=dual_stable,
                                ratio_cnt=ratio_cnt)
     else:
-        istar, hstar = _argmax_masked2(H, pool_mask)
+        istar, hstar = i_all, h_all
 
     alpha, beta = accumulate(state, istar, o_valid, k)
     found = jnp.all(~o_valid | (hstar > _NEG / 2))

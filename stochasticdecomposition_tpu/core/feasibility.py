@@ -23,54 +23,72 @@ from stochasticdecomposition_tpu.config import SDConfig
 from stochasticdecomposition_tpu.core.state import ProblemArrays, SDState
 
 
-def _feas_cut_coeffs(pa_np, state, s_idx, o_idx):
-    """alpha/beta of the feasibility cut from ray-entry s and observation o
-    (cuts.c:477-487)."""
-    lidx = int(np.asarray(state.sigma_lidx)[s_idx])
-    alpha = float(np.asarray(state.sigma_pib)[s_idx]) + \
-        float(np.asarray(state.delta_pib)[lidx, o_idx])
-    n1 = pa_np["n1"]
-    beta = np.zeros(n1)
-    if pa_np["C_cols"].size:
-        beta[pa_np["C_cols"]] += np.asarray(state.sigma_piC)[s_idx]
-    if pa_np["C_cols_rand"].size and pa_np["has_rand_C"]:
-        beta[pa_np["C_cols_rand"]] += np.asarray(state.delta_piC)[lidx, o_idx]
-    return alpha, beta
-
-
 def update_feas_cut_pool(pa: ProblemArrays, state: SDState, cfg: SDConfig,
                          pool_alpha, pool_beta):
     """updtFeasCutPool (cuts.c:465-517): cross new (ray, observation) pairs
-    into the host-side pool with dedup; watermarks in state.f_updt."""
+    into the host-side pool with dedup; watermarks in state.f_updt.
+
+    Vectorized: all candidate (alpha, beta) pairs are built as one batched
+    gather/scatter, deduplicated by tolerance-quantized keys (np.unique) —
+    a long feasibility phase (rays x thousands of observations) is one
+    array pass instead of O(pool^2) Python loops.  Quantized dedup may keep
+    a pair of cuts within TOLERANCE of each other that the reference's
+    ball-dedup would merge; duplicates are harmless (slot-level dedup
+    happens again in check_feas_cut_pool)."""
     tol = cfg.TOLERANCE
-    pa_np = {
-        "n1": int(pa.c1.shape[0]),
-        "C_cols": np.asarray(pa.C_cols),
-        "C_cols_rand": np.asarray(pa.C_cols_rand),
-        "has_rand_C": int(pa.rv_C_rows.shape[0]) > 0,
-    }
+    n1 = int(pa.c1.shape[0])
     s_mark, o_mark = int(state.f_updt[0]), int(state.f_updt[1])
     s_cnt = int(state.sigma_cnt)
     o_cnt = int(state.omega_cnt)
     feas_flags = np.asarray(state.sigma_feas)[:s_cnt]
+    has_rand_C = int(pa.rv_C_rows.shape[0]) > 0 and pa.C_cols_rand.size
 
-    def _try_add(alpha, beta):
-        for a2, b2 in zip(pool_alpha, pool_beta):
-            if abs(alpha - a2) < tol and np.all(np.abs(beta - b2) < tol):
-                return
-        pool_alpha.append(alpha)
-        pool_beta.append(beta)
+    # (ray, obs) index cross products: new obs x old rays + all obs x new
+    # rays (cuts.c:472-514).
+    old_rays = np.where(~feas_flags[:s_mark])[0]
+    new_rays = s_mark + np.where(~feas_flags[s_mark:s_cnt])[0]
+    pairs_s = np.concatenate([
+        np.repeat(old_rays, max(o_cnt - o_mark, 0)),
+        np.repeat(new_rays, o_cnt),
+    ]).astype(np.int64)
+    pairs_o = np.concatenate([
+        np.tile(np.arange(o_mark, o_cnt), len(old_rays)),
+        np.tile(np.arange(o_cnt), len(new_rays)),
+    ]).astype(np.int64)
+    if pairs_s.size == 0:
+        state = state._replace(f_updt=jnp.asarray([s_cnt, o_cnt], jnp.int32))
+        return state, pool_alpha, pool_beta
 
-    # New observations x old ray entries (cuts.c:472-491).
-    for o in range(o_mark, o_cnt):
-        for s in range(0, s_mark):
-            if not feas_flags[s]:
-                _try_add(*_feas_cut_coeffs(pa_np, state, s, o))
-    # All observations x new ray entries (cuts.c:495-514).
-    for o in range(0, o_cnt):
-        for s in range(s_mark, s_cnt):
-            if not feas_flags[s]:
-                _try_add(*_feas_cut_coeffs(pa_np, state, s, o))
+    sigma_pib = np.asarray(state.sigma_pib)
+    sigma_piC = np.asarray(state.sigma_piC)
+    sigma_lidx = np.asarray(state.sigma_lidx)
+    delta_pib = np.asarray(state.delta_pib)
+    lidx = sigma_lidx[pairs_s]
+    alpha = sigma_pib[pairs_s] + delta_pib[lidx, pairs_o]       # [P]
+    beta = np.zeros((len(pairs_s), n1))
+    C_cols = np.asarray(pa.C_cols)
+    if C_cols.size:
+        beta[:, C_cols] += sigma_piC[pairs_s]
+    if has_rand_C:
+        delta_piC = np.asarray(state.delta_piC)
+        beta[:, np.asarray(pa.C_cols_rand)] += delta_piC[lidx, pairs_o]
+
+    # Tolerance-quantized dedup, within the batch and against the pool.
+    keys = np.round(np.concatenate([alpha[:, None], beta], axis=1) / tol)
+    _, first = np.unique(keys, axis=0, return_index=True)
+    if pool_alpha:
+        pool_keys = np.round(np.concatenate(
+            [np.asarray(pool_alpha)[:, None], np.stack(pool_beta)],
+            axis=1) / tol)
+        pool_set = {k.tobytes() for k in pool_keys.astype(np.int64)}
+    else:
+        pool_set = set()
+    for i in sorted(first):
+        kb = keys[i].astype(np.int64).tobytes()
+        if kb not in pool_set:
+            pool_set.add(kb)
+            pool_alpha.append(float(alpha[i]))
+            pool_beta.append(beta[i])
 
     state = state._replace(f_updt=jnp.asarray([s_cnt, o_cnt], jnp.int32))
     return state, pool_alpha, pool_beta

@@ -213,7 +213,11 @@ def stochastic_updates_randcost(pa: ProblemArrays, state: SDState, res,
 
 def height_table_randcost(pa: ProblemArrays, state: SDState, x):
     """computeIstar heights over (basis, obs) with cost multipliers
-    (stocUpdate.c:161-184, randCost branch)."""
+    (stocUpdate.c:161-184, randCost branch).
+
+    Materializes the full [B, nd, O] gather — used by tests as the
+    reference implementation; the production argmax path is the fused
+    blockwise reduction below (triple_argmax_randcost)."""
     from stochasticdecomposition_tpu.core.cuts import height_table
 
     # T[s, o]: plain per-sigma-entry heights (the c-th component values).
@@ -230,6 +234,88 @@ def height_table_randcost(pa: ProblemArrays, state: SDState, x):
     b_valid = (ids < state.basis_cnt) & state.basis_feas
     bo_valid = b_valid[:, None] & state.obs_feas                # [B, O]
     return H, bo_valid, o_valid
+
+
+def triple_argmax_randcost(pa: ProblemArrays, state: SDState, x,
+                           old_gate, new_gate, block: int = 256):
+    """Fused (argmax, max) over the basis pool for the three dual-stability
+    masks (all / old / new), WITHOUT materializing the [B, nd, O] gather or
+    any masked [B, O] height table.
+
+    The v2.0 argmax hot loop (stocUpdate.c:161-184 randCost branch) scans
+    the basis pool in blocks: per block the heights
+        H[b, o] = T[sigma0[b], o] + sum_n present[b,n] WD[o,n] T[sn[b,n], o]
+    are one gather + one einsum over [block, nd, O], immediately reduced
+    into six running [O] carries — peak memory O(block*nd*O) instead of
+    O(B*nd*O), and one pass over the pool instead of three.  This is the
+    XLA analog of the plain path's Pallas triple-argmax (ops/pallas_argmax);
+    a Pallas version would need per-row dynamic VMEM gathers, which Mosaic
+    does not lower.
+
+    old_gate/new_gate: [B] bools (the ck-window split).  Returns
+    (i_all, h_all, i_old, h_old, i_new, h_new), each [O]."""
+    from stochasticdecomposition_tpu.core.cuts import height_table
+
+    T, _sv, o_valid = height_table(pa, state, x)                # [S, O]
+    WD = _wd(pa, state)                                         # [O, nd]
+    dtype = T.dtype
+    B = state.basis_sigma0.shape[0]
+    O = T.shape[1]
+    nblk = -(-B // block)
+    Bp = nblk * block
+
+    def pad(a, fill=0):
+        return jnp.concatenate(
+            [a, jnp.full((Bp - B,) + a.shape[1:], fill, a.dtype)], axis=0) \
+            if Bp > B else a
+
+    s0 = pad(state.basis_sigma0)
+    sn = pad(state.basis_sigma_idx)
+    present = pad(state.basis_present, False)
+    obs_feas = pad(state.obs_feas, False)
+    ids = jnp.arange(Bp)
+    b_valid = (ids < state.basis_cnt) & pad(state.basis_feas, False)
+    og = pad(old_gate, False) & b_valid
+    ng = pad(new_gate, False) & b_valid
+
+    neg = jnp.asarray(_NEG, dtype)
+    init = tuple(jnp.full(O, neg) if i % 2 else jnp.zeros(O, jnp.int32)
+                 for i in range(6))   # (i_all, h_all, i_old, h_old, i_new, h_new)
+
+    def body(carry, blk):
+        lo = blk * block
+        s0_b = lax.dynamic_slice_in_dim(s0, lo, block)
+        sn_b = lax.dynamic_slice_in_dim(sn, lo, block)
+        pr_b = lax.dynamic_slice_in_dim(present, lo, block)
+        of_b = lax.dynamic_slice_in_dim(obs_feas, lo, block)
+        bv_b = lax.dynamic_slice_in_dim(b_valid, lo, block)
+        og_b = lax.dynamic_slice_in_dim(og, lo, block)
+        ng_b = lax.dynamic_slice_in_dim(ng, lo, block)
+        idx_b = lo + jnp.arange(block)
+
+        T0 = T[s0_b]                                            # [blk, O]
+        Tn = T[sn_b]                                            # [blk, nd, O]
+        mult = jnp.where(pr_b[:, None, :], WD[None, :, :], 0.0)
+        Hb = T0 + jnp.einsum("bon,bno->bo", mult, Tn)           # [blk, O]
+        base = bv_b[:, None] & of_b
+
+        ia, ha, io, ho, inw, hn = carry
+
+        def upd(gate, h_best, i_best):
+            Hm = jnp.where(gate[:, None] & base, Hb, neg)
+            h_blk = jnp.max(Hm, axis=0)
+            i_blk = idx_b[jnp.argmax(Hm, axis=0)].astype(jnp.int32)
+            better = h_blk > h_best
+            return (jnp.where(better, h_blk, h_best),
+                    jnp.where(better, i_blk, i_best))
+
+        ha, ia = upd(bv_b, ha, ia)
+        ho, io = upd(og_b, ho, io)
+        hn, inw = upd(ng_b, hn, inw)
+        return (ia, ha, io, ho, inw, hn), ()
+
+    (ia, ha, io, ho, inw, hn), _ = lax.scan(body, init, jnp.arange(nblk))
+    return ia, ha, io, ho, inw, hn, o_valid
 
 
 def accumulate_randcost(pa: ProblemArrays, state: SDState, istar, o_valid, k):

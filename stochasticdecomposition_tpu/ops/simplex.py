@@ -294,11 +294,18 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
         # Basic movement per unit t: xb <- xb - t * dir * w.
         delta = -dir_ * w
 
-        # --- ratio test -------------------------------------------------
+        # --- Harris two-pass ratio test ----------------------------------
         # Feasible basics block at the bound they move toward.  Infeasible
         # basics block at the bound they violate when moving toward it
         # (becoming feasible there) and do NOT block when moving away from it
         # (the phase-1 pricing already accounts for the worsening).
+        #
+        # Pass 1 relaxes each blocking BOUND by the feasibility tolerance
+        # (per-row scaled by |delta|, the Harris scheme) to find the relaxed
+        # maximum step; pass 2 picks, among rows whose exact ratio is within
+        # the relaxed step, the one with the LARGEST |pivot element| — the
+        # numerically stable choice on degenerate/ill-scaled LPs, where a
+        # plain min-ratio rule is forced onto near-zero pivots.
         moving_up = delta > tol
         moving_dn = delta < -tol
         upper_target = jnp.where(viol_lo, lo_b,
@@ -314,16 +321,27 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
         ratios = jnp.minimum(r_up, r_dn)
         ratios = jnp.maximum(ratios, 0.0)   # numerical guard on tiny negatives
 
+        feas_tol = jnp.asarray(max(tol, 1e-9), dtype)
+        r_up_rel = jnp.where(
+            moving_up & jnp.isfinite(upper_target),
+            (upper_target - xb + feas_tol) / jnp.where(moving_up, delta, 1.0),
+            big_ratio)
+        r_dn_rel = jnp.where(
+            moving_dn & jnp.isfinite(lower_target),
+            (lower_target - xb - feas_tol) / jnp.where(moving_dn, delta, 1.0),
+            big_ratio)
+        theta_rel = jnp.maximum(jnp.min(jnp.minimum(r_up_rel, r_dn_rel)), 0.0)
+
         # Entering variable's own bound-to-bound flip distance.
         span_j = jnp.take(up, j) - jnp.take(lo, j)
         flip_ratio = jnp.where(jnp.isfinite(span_j), span_j, big_ratio)
 
-        min_basic_ratio = jnp.min(ratios)
-        # Tie-break leaving row by largest |w| among rows within tolerance of
-        # the min ratio (stability), preferring real blocks.
-        near = ratios <= min_basic_ratio + tol
-        leave_score = jnp.where(near, jnp.abs(w), -1.0)
+        # Pass 2: stable leaving row among the relaxed candidates.
+        cand = ratios <= theta_rel
+        leave_score = jnp.where(cand, jnp.abs(w), -1.0)
         r_leave = jnp.argmax(leave_score).astype(jnp.int32)
+        min_basic_ratio = jnp.where(jnp.any(cand),
+                                    jnp.take(ratios, r_leave), big_ratio)
 
         t_star = jnp.minimum(min_basic_ratio, flip_ratio)
         unbounded = (t_star >= big_ratio) & ~in_phase1

@@ -94,6 +94,13 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
     shardings = state_shardings(mesh, with_rep_axis=True)
     done_sharding = NamedSharding(mesh, P("rep"))
     step = make_masked_multi_rep_step(solver.pa, solver.spec, cfg, mesh)
+    # Control scalars for the whole wave packed into one [7, W] transfer
+    # (see runner.SDSolver._snapshot for why).
+    snapshot = jax.jit(lambda s: jnp.stack([
+        s.k.astype(jnp.float64), s.dual_stable.astype(jnp.float64),
+        s.candid_est.astype(jnp.float64), s.incumb_est.astype(jnp.float64),
+        s.sp_feas.astype(jnp.float64), s.cut_ok.astype(jnp.float64),
+        s.master_ok.astype(jnp.float64)]))
 
     results: List[ReplicationResult] = []
     R = cfg.MULTIPLE_REP
@@ -124,11 +131,9 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
         from stochasticdecomposition_tpu.config import MASTER_LP
         stat_stop = cfg.MASTER_TYPE != MASTER_LP
 
+        snap = np.asarray(snapshot(stacked))
         while not done.all():
-            ks = np.asarray(stacked.k)
-            stable = np.asarray(stacked.dual_stable)
-            cand = np.asarray(stacked.candid_est)
-            inc = np.asarray(stacked.incumb_est)
+            ks, stable, cand, inc = snap[0], snap[1], snap[2], snap[3]
             for i in range(len(reps)):
                 if done[i]:
                     continue
@@ -150,11 +155,11 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
                 break
 
             stacked = step(stacked, jnp.asarray(done))
+            snap = np.asarray(snapshot(stacked))
 
             # Per-replication feasibility / failure handling.
-            spf = np.asarray(stacked.sp_feas)
-            cut_ok = np.asarray(stacked.cut_ok)
-            master_ok = np.asarray(stacked.master_ok)
+            spf, cut_ok, master_ok = snap[4], snap[5], snap[6]
+            scattered = False
             for i in range(len(reps)):
                 if done[i]:
                     continue
@@ -166,6 +171,7 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
                         solver.pa, st_i, cfg, solver.substeps, pa_, pb_)
                     pools[i] = (pa_, pb_)
                     stacked = _scatter_rep(stacked, i, st_i)
+                    scattered = True
                 elif not bool(cut_ok[i]):
                     raise RuntimeError(
                         f"SD cut formation failed in replication {reps[i]} "
@@ -174,7 +180,9 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
                     raise RuntimeError(
                         f"master QP failed in replication {reps[i]} at "
                         f"k={int(ks[i]) + 1}")
-            kmin = int(np.min(np.asarray(stacked.k)[~done])) \
+            if scattered:
+                snap = np.asarray(snapshot(stacked))
+            kmin = int(np.min(snap[0][:len(reps)][~done[:len(reps)]])) \
                 if not done.all() else 0
             if kmin % 100 == 0:
                 log(f"\nIteration-{kmin:4d}: ")

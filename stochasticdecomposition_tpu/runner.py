@@ -118,6 +118,17 @@ class SDSolver:
         self.full_test = make_full_test(self.pa, cfg, cfg.MAX_ITER)
         self.eval_batch_fn = None
         self.mean_sol = mean_value_solution(sp, dtype)
+        # All host-loop control scalars packed into ONE device array so the
+        # per-iteration device->host sync is a single transfer.  Through a
+        # remote-tunnel TPU each separate int()/bool() read is its own RPC
+        # (~100ms+); unpacked reads made the host loop ~10x slower than the
+        # SD step itself.
+        self._snapshot = jax.jit(lambda s: jnp.stack([
+            s.k.astype(jnp.float64), s.dual_stable.astype(jnp.float64),
+            s.candid_est.astype(jnp.float64),
+            s.incumb_est.astype(jnp.float64),
+            s.sp_feas.astype(jnp.float64), s.cut_ok.astype(jnp.float64),
+            s.master_ok.astype(jnp.float64)]))
 
     def solve_replication(self, rep: int = 0, log=lambda s: None,
                           checkpoint_every: int = 0,
@@ -149,9 +160,9 @@ class SDSolver:
                 state = state._replace(f_updt=jnp.zeros(2, jnp.int32))
         t_setup = time.monotonic() - t0
 
-        def _maybe_checkpoint(st, ekey):
+        def _maybe_checkpoint(st, ekey, k):
             if checkpoint_every and checkpoint_dir and \
-                    int(st.k) % checkpoint_every == 0:
+                    k % checkpoint_every == 0:
                 import os
 
                 from stochasticdecomposition_tpu.utils.checkpoint import (
@@ -173,12 +184,14 @@ class SDSolver:
 
         optimal = False
         n_full_tests = 0
-        while int(state.k) < cfg.MAX_ITER:
-            k = int(state.k)
+        # One packed device->host transfer per iteration (see _snapshot).
+        snap = np.asarray(self._snapshot(state))
+        while int(snap[0]) < cfg.MAX_ITER:
+            k = int(snap[0])
             # Optimality gate (optimal.c:23-42): min iterations + stable duals
             # + pre-test, then the bootstrap full test.
-            if stat_stop and k > cfg.MIN_ITER and bool(state.dual_stable):
-                if pre_test(float(state.candid_est), float(state.incumb_est),
+            if stat_stop and k > cfg.MIN_ITER and snap[1] != 0.0:
+                if pre_test(float(snap[2]), float(snap[3]),
                             cfg.PRE_EPSILON):
                     eval_key, sub = jax.random.split(eval_key)
                     n_full_tests += 1
@@ -188,23 +201,25 @@ class SDSolver:
                         break
                     log(".")
             state = self.step(state)
+            snap = np.asarray(self._snapshot(state))
             if metrics is not None:
                 metrics.record(state)
-            _maybe_checkpoint(state, eval_key)
-            if not bool(state.sp_feas):
+            _maybe_checkpoint(state, eval_key, int(snap[0]))
+            if snap[4] == 0.0:
                 # Feasibility mode (resolveInfeasibility, cuts.c:402-449).
                 log("F")
                 state, pool_alpha, pool_beta = resolve_infeasibility(
                     self.pa, state, cfg, self.substeps,
                     pool_alpha, pool_beta)
-            if not bool(state.cut_ok):
+                snap = np.asarray(self._snapshot(state))
+            if snap[5] == 0.0 and snap[4] != 0.0:
                 # A skipped cut while the subproblem solved feasibly means
                 # the argmax found no valid vertex for some observation —
                 # the istar < 0 hard error of the reference (cuts.c:136-139).
                 raise RuntimeError(
-                    f"SD cut formation failed at k={int(state.k)}: no valid "
+                    f"SD cut formation failed at k={int(snap[0])}: no valid "
                     "dual vertex for some observation")
-            if not bool(state.master_ok):
+            if snap[6] == 0.0:
                 raise RuntimeError(f"master QP failed to converge at k={k+1}")
             if k % 100 == 0:
                 log(f"\nIteration-{k:4d}: ")

@@ -57,6 +57,47 @@ def test_randcost_stoch_check_oracle():
 
 
 @pytest.mark.slow
+def test_fused_triple_argmax_matches_materialized():
+    # The production blockwise reduction (triple_argmax_randcost) must match
+    # the materialized [B, nd, O] reference implementation for all three
+    # dual-stability masks.
+    import jax.numpy as jnp
+
+    from stochasticdecomposition_tpu.core.randcost import (
+        triple_argmax_randcost,
+    )
+
+    sp, _ = _setup(21, n_rv=1, support=2, rand_d=2, n2=6, m2=4)
+    cfg = SDConfig(MAX_ITER=100, EVAL_FLAG=False)
+    solver = SDSolver(sp, cfg)
+    state = init_state(solver.pa, solver.caps, cfg, solver.mean_sol,
+                       jax.random.PRNGKey(5))
+    for _ in range(40):
+        state = solver.step(state)
+    x = state.candid_x
+    k = state.k
+    ns_eff = k - jnp.floor(0.1 * k.astype(float) + 1).astype(k.dtype)
+    og = state.basis_ck <= ns_eff
+    ng = state.basis_ck > ns_eff
+
+    ia, ha, io, ho, inw, hn, _ = triple_argmax_randcost(
+        solver.pa, state, x, og, ng, block=3)   # force multiple blocks
+
+    H, bo_valid, _ = height_table_randcost(solver.pa, state, x)
+    Hnp = np.asarray(H)
+    bo = np.asarray(bo_valid)
+    for gate, h_got, i_got in [(np.ones(len(og), bool), ha, ia),
+                               (np.asarray(og), ho, io),
+                               (np.asarray(ng), hn, inw)]:
+        Hm = np.where(bo & gate[:, None], Hnp, -1e300)
+        np.testing.assert_allclose(np.asarray(h_got), Hm.max(axis=0),
+                                   rtol=1e-12, atol=1e-12)
+        # argmax may differ only between equal heights
+        got_h = Hm[np.asarray(i_got), np.arange(Hm.shape[1])]
+        np.testing.assert_allclose(got_h, Hm.max(axis=0), rtol=1e-12)
+
+
+@pytest.mark.slow
 def test_randcost_converges():
     sp, ef_obj = _setup(21, n_rv=1, support=2, rand_d=2, n2=6, m2=4)
     cfg = SDConfig(MAX_ITER=400, EVAL_FLAG=False)

@@ -128,3 +128,93 @@ def test_vmapped_batch():
         if ref.status == 0:
             assert int(sol.status[i]) == STATUS_OPTIMAL
             assert abs(float(sol.obj[i]) - ref.fun) <= 1e-6 * max(1, abs(ref.fun))
+
+
+def _assert_matches_scipy(D, sense, d, l, u, b, tol=1e-6):
+    ref = _scipy_solve(D, sense, d, l, u, b)
+    res = solve_lp(jnp.asarray(D), jnp.asarray(sense, jnp.int32),
+                   jnp.asarray(d), jnp.asarray(l), jnp.asarray(u),
+                   jnp.asarray(b))
+    if ref.status == 0:
+        assert int(res.status) == STATUS_OPTIMAL, int(res.status)
+        scale = 1.0 + abs(ref.fun)
+        assert abs(float(res.obj) - ref.fun) / scale < tol, \
+            (float(res.obj), ref.fun)
+    elif ref.status == 2:
+        assert int(res.status) == STATUS_INFEASIBLE
+    elif ref.status == 3:
+        assert int(res.status) == STATUS_UNBOUNDED
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(4))
+def test_degenerate_lps_match_scipy(seed):
+    """Harris ratio-test stress: highly degenerate LPs (duplicated rows,
+    zero rhs, many ties in the ratio test)."""
+    rng = np.random.default_rng(1000 + seed)
+    m, n = 14, 10
+    base = rng.normal(size=(m // 2, n)).round(1)
+    D = np.vstack([base, base * rng.choice([1.0, 2.0], size=(m // 2, 1))])
+    sense = np.full(m, -1)
+    sense[rng.random(m) < 0.3] = 1
+    d = rng.normal(size=n).round(1)
+    b = np.zeros(m)                      # degenerate vertex at the origin
+    b[rng.random(m) < 0.4] = rng.uniform(0.5, 2.0)
+    b = np.where(sense == 1, -np.abs(b), np.abs(b))
+    l = np.zeros(n)
+    u = np.full(n, np.inf)
+    _assert_matches_scipy(D, sense, d, l, u, b)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(4))
+def test_ill_scaled_lps_match_scipy(seed):
+    """Harris ratio-test stress: columns/rows scaled across 8 orders of
+    magnitude (storm-class scaling risk; SURVEY.md §7 hard part 1)."""
+    rng = np.random.default_rng(2000 + seed)
+    m = int(rng.integers(6, 12))
+    n = int(rng.integers(6, 14))
+    D = rng.normal(size=(m, n))
+    col_scale = 10.0 ** rng.uniform(-4, 4, size=n)
+    row_scale = 10.0 ** rng.uniform(-2, 2, size=m)
+    D = D * col_scale[None, :] * row_scale[:, None]
+    sense = rng.choice([-1, 1], size=m, p=[0.6, 0.4])
+    d = rng.normal(size=n) * col_scale
+    b = rng.normal(size=m) * row_scale
+    b = np.where(sense == 1, -np.abs(b), np.abs(b))
+    l = np.zeros(n)
+    u = np.full(n, np.inf)
+    _assert_matches_scipy(D, sense, d, l, u, b, tol=1e-5)
+
+
+@pytest.mark.slow
+def test_suite_scale_degenerate_batch():
+    """A vmapped batch of dispatch-style recourse LPs with degenerate rhs
+    (the storm-class silent-quality risk)."""
+    from stochasticdecomposition_tpu.models.synthetic import parse_synthetic
+    from stochasticdecomposition_tpu.prob import decompose
+    from stochasticdecomposition_tpu.core.state import stage_problem
+    from stochasticdecomposition_tpu.core.update import subproblem_rhs_cost
+
+    core, tim, stoc = parse_synthetic(seed=3, n1=12, m1=2, n2=120, m2=60,
+                                      n_rv=8, support=3)
+    sp = decompose(core, tim, stoc)
+    pa = stage_problem(sp)
+    x = jnp.full(12, 1.0, pa.c1.dtype)
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.normal(size=(16, len(sp.rv.omega_mean))) * 0.5)
+
+    def one(wi):
+        rhs, cost = subproblem_rhs_cost(pa, x, wi)
+        res = solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs)
+        return res.obj, res.status
+
+    objs, stats = jax.vmap(one)(W)
+    assert np.all(np.asarray(stats) == STATUS_OPTIMAL)
+    # spot-check two lanes against scipy
+    D = np.asarray(pa.D); sense = np.asarray(pa.sense2)
+    for i in (0, 7):
+        rhs, cost = subproblem_rhs_cost(pa, x, W[i])
+        ref = _scipy_solve(D, sense, np.asarray(cost), np.asarray(pa.l2),
+                           np.asarray(pa.u2), np.asarray(rhs))
+        assert abs(float(objs[i]) - ref.fun) / (1 + abs(ref.fun)) < 1e-6
