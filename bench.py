@@ -145,22 +145,11 @@ def bench_sd_rate(solver, cfg, n_iter=40):
     return steps_per_s, steps_per_s * max(1, cfg.SAMPLE_INCREMENT), state
 
 
-def exact_objective(solver, x, outs, probs):
-    """c'x + E[h(x, omega)] by FULL scenario enumeration — zero sampling
-    error, so parity gaps are exact (vs the r1 bench's CI-limited eval)."""
-    from stochasticdecomposition_tpu.core.update import subproblem_rhs_cost
-    from stochasticdecomposition_tpu.ops.simplex import solve_lp
+def make_exact_objective(solver, outs, probs):
+    """Jitted exact-objective closure (models/extensive.py)."""
+    from stochasticdecomposition_tpu.models.extensive import exact_objective_fn
 
-    pa = solver.pa
-    x = jnp.asarray(x, pa.c1.dtype)
-    W = jnp.asarray(outs, pa.c1.dtype) - pa.omega_mean[None, :]
-
-    def h_one(wi):
-        rhs, cost = subproblem_rhs_cost(pa, x, wi)
-        return solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs).obj
-
-    hs = jax.vmap(h_one)(W)
-    return float(pa.c1 @ x + jnp.asarray(probs) @ hs)
+    return exact_objective_fn(solver.pa, outs, probs)
 
 
 def bench_parity():
@@ -183,24 +172,28 @@ def bench_parity():
     t0 = time.perf_counter()
     res = solver.run()
     wall = time.perf_counter() - t0
-    gaps = [abs(exact_objective(solver, r.incumb_x, outs, probs) - ef_obj)
-            / abs(ef_obj) for r in res.replications]
-    comp = abs(exact_objective(solver, res.compromise_x, outs, probs)
-               - ef_obj) / abs(ef_obj)
+    exact = make_exact_objective(solver, outs, probs)
+    gaps = [abs(exact(r.incumb_x) - ef_obj) / abs(ef_obj)
+            for r in res.replications]
+    comp = abs(exact(res.compromise_x) - ef_obj) / abs(ef_obj)
 
-    # lands single replication, same exact measurement.
+    # lands multi-rep + compromise, same exact measurement.
     core, tim, stoc = load_instance("lands")
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     outs_l, probs_l = enumerate_scenarios(stoc, sp.rv_order)
     ef_l, _ = solve_extensive_form(sp, outs_l, probs_l)
-    sol_l = SDSolver(sp, SDConfig(MAX_ITER=520, EVAL_FLAG=False))
-    r_l = sol_l.solve_replication(0)
-    gap_l = abs(exact_objective(sol_l, r_l.incumb_x, outs_l, probs_l)
-                - ef_l) / abs(ef_l)
+    sol_l = SDSolver(sp, SDConfig(MAX_ITER=520, EVAL_FLAG=False,
+                                  MULTIPLE_REP=3, COMPROMISE_PROB=True))
+    res_l = sol_l.run()
+    exact_l = make_exact_objective(sol_l, outs_l, probs_l)
+    gap_l = abs(exact_l(res_l.compromise_x) - ef_l) / abs(ef_l)
+    gaps_l = [abs(exact_l(r.incumb_x) - ef_l) / abs(ef_l)
+              for r in res_l.replications]
     return {
         "parity_rep_gaps_pgp2like": [round(g, 6) for g in gaps],
         "parity_compromise_gap_pgp2like": round(comp, 6),
-        "parity_gap_lands": round(gap_l, 6),
+        "parity_rep_gaps_lands": [round(g, 6) for g in gaps_l],
+        "parity_compromise_gap_lands": round(gap_l, 6),
         "parity_iters_to_stop": [r.iterations for r in res.replications],
         "parity_wall_s": round(wall, 1),
         "solver": solver,
@@ -242,6 +235,9 @@ def bench_suite_sd(name, n_iter, sample_increment=1):
 def main():
     global _T_START
     _T_START = time.perf_counter()
+    import os
+    import signal
+
     from stochasticdecomposition_tpu.config import SDConfig
     from stochasticdecomposition_tpu.models.instances import load_instance
     from stochasticdecomposition_tpu.models.synthetic import parse_synthetic
@@ -249,113 +245,167 @@ def main():
     from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
 
     extras = {}
+    budget = float(os.environ.get("BENCH_BUDGET_S", "860"))
+    stage_s = {}
+    extras["bench_stage_s"] = stage_s
 
-    # ---- on-device Pallas self-check -------------------------------------
+    def left():
+        return budget - (time.perf_counter() - _T_START)
+
+    # The JSON line is the deliverable: emit whatever has been measured so
+    # far if the driver's timeout SIGTERMs us mid-stage.
+    def emit(rc=None):
+        payload = {
+            "metric": "batched_subproblem_lp_throughput_large",
+            "value": extras.pop("_headline_value", -1.0),
+            "unit": "LP solves/s (80x240 LPs, f32 pivots)",
+            "vs_baseline": extras.pop("_headline_vs", -1.0),
+            "device": str(jax.devices()[0]),
+            **extras,
+        }
+        print(json.dumps(payload), flush=True)
+        if rc is not None:
+            os._exit(rc)
+
+    signal.signal(signal.SIGTERM, lambda *_: emit(rc=0))
+
+    def stage(name, fn, need_s=0.0):
+        """Run one budgeted stage; record wall time; never die."""
+        if left() < need_s:
+            extras[f"skipped_{name}"] = f"budget ({left():.0f}s left)"
+            return False
+        t0 = time.perf_counter()
+        try:
+            fn()
+            return True
+        except Exception as e:               # report, don't die
+            extras[f"error_{name}"] = str(e)[:200]
+            return False
+        finally:
+            stage_s[name] = round(time.perf_counter() - t0, 1)
+            _prog(f"{name} done ({stage_s[name]}s)")
+
+    # ---- 1. parity (exact, by scenario enumeration) — the core claim ----
+    box = {}
+
+    def _parity():
+        par = bench_parity()
+        box["solver"] = par.pop("solver")
+        extras.update(par)
+
+    stage("parity", _parity)
+    solver = box.get("solver")
+    if solver is None:                       # parity failed: rebuild pgp2like
+        core, tim, stoc = load_instance("pgp2like")
+        sp = attach_stoc(decompose(core, tim, stoc), stoc)
+        solver = SDSolver(sp, SDConfig(MAX_ITER=64, EVAL_FLAG=False))
+
+    # ---- 2. mid-scale synthetic (ssn-class): batched LP throughput ------
+    # This is the headline metric (the axis the reference spends its time
+    # on: evaluate.c's thousands of sequential CPLEX solves).
+    class _Shim:
+        pass
+
+    def _big_lp():
+        core2, tim2, stoc2 = parse_synthetic(seed=7, n1=20, m1=3, n2=160,
+                                             m2=80, n_rv=12, support=5)
+        sp2 = attach_stoc(decompose(core2, tim2, stoc2), stoc2)
+        from stochasticdecomposition_tpu.core.state import stage_problem
+        from stochasticdecomposition_tpu.sampler import build_sampler
+
+        solver2 = _Shim()
+        solver2.pa = stage_problem(sp2)
+        solver2.spec = build_sampler(stoc2, sp2.rv_order)
+        solver2.mean_sol = np.full(20, 2.0)
+        big_rate_f32, big_mean_f32 = bench_eval_throughput(
+            solver2, 256, rounds=2, pivot_dtype=jnp.float32)
+        big_cpu_rate = bench_scipy_throughput(solver2, n_solve=20)
+        big_mean_cpu = scipy_mean_obj(solver2, n_solve=20)
+        extras["_headline_value"] = round(big_rate_f32, 2)
+        extras["_headline_vs"] = round(big_rate_f32 / big_cpu_rate, 3)
+        extras["large_cpu_scipy_lp_per_s"] = round(big_cpu_rate, 2)
+        extras["large_f32_vs_cpu_obj_relerr"] = round(
+            abs(big_mean_f32 - big_mean_cpu) / max(abs(big_mean_cpu), 1), 6)
+
+    stage("big_lp_throughput", _big_lp, need_s=60)
+
+    # ---- 3. small-LP throughput vs sequential HiGHS ----------------------
+    def _small_lp():
+        batch = 512
+        tpu_rate, _ = bench_eval_throughput(solver, batch)
+        tpu_rate_f32, _ = bench_eval_throughput(solver, batch,
+                                                pivot_dtype=jnp.float32)
+        cpu_rate = bench_scipy_throughput(solver, n_solve=100)
+        extras["small_tpu_lp_per_s_f64"] = round(tpu_rate, 2)
+        extras["small_tpu_lp_per_s_f32pivot"] = round(tpu_rate_f32, 2)
+        extras["small_cpu_scipy_lp_per_s"] = round(cpu_rate, 2)
+        extras["small_vs_baseline"] = round(tpu_rate / cpu_rate, 3)
+
+    stage("small_lp_throughput", _small_lp, need_s=60)
+
+    # ---- 4. SD step rate: sequential vs batched sampling -----------------
+    def _sd_rates():
+        # Batch-1 rate on the PARITY solver: its step is already compiled
+        # (a fresh SDSolver would recompile the whole program).
+        steps1, samples1, _ = bench_sd_rate(solver, solver.cfg, n_iter=40)
+        extras["sd_iters_per_s"] = round(steps1, 2)
+        extras["sd_samples_per_s_batch1"] = round(samples1, 2)
+        # Batched sampling: 64 fresh observations per step.  CHECK_EVERY=4
+        # scans 4 steps per dispatch — the production setting on a
+        # remote-tunnel device where each dispatch is an RPC.
+        cfg64 = SDConfig(MAX_ITER=2560, EVAL_FLAG=False, SAMPLE_INCREMENT=64,
+                         CHECK_EVERY=4)
+        s64 = SDSolver(solver.sp, cfg64)
+        steps64, samples64, _ = bench_sd_rate(s64, cfg64, n_iter=8)
+        samples64 *= 4                       # bench_sd_rate counts dispatches
+        extras["sd_samples_per_s_batch64"] = round(samples64, 2)
+        extras["sd_batch64_speedup"] = round(samples64 / samples1, 2)
+
+    stage("sd_rates", _sd_rates, need_s=90)
+
+    # ---- 5. on-device Pallas self-check ----------------------------------
     # The triple-argmax kernel's CPU tests run in interpret mode; this
     # exercises real Mosaic lowering (both whole-VMEM and DMA-streamed
     # paths, odd pool sizes included) and compares against the XLA fallback.
-    try:
+    # The whole comparison is ONE jitted program per shape: on the
+    # remote-compile backend each eager op is its own compile+RPC, so an
+    # unjitted check costs minutes instead of seconds.
+    def _pallas_check():
         from stochasticdecomposition_tpu.ops.pallas_argmax import (
             triple_masked_argmax, triple_masked_argmax_xla,
         )
+
+        @jax.jit
+        def _check(H, m1, m2):
+            got = triple_masked_argmax(H, m1, m2, m1 & ~m2)
+            ref = triple_masked_argmax_xla(H, m1, m2, m1 & ~m2)
+            return jnp.all(jnp.stack([
+                jnp.all(jnp.isclose(a.astype(jnp.float64),
+                                    b.astype(jnp.float64)))
+                for a, b in zip(got, ref)]))
+
         rng = np.random.default_rng(0)
         ok_all = True
         for S, O in [(37, 256), (2251, 1664)]:
             H = jnp.asarray(rng.standard_normal((S, O)))
             m1 = jnp.asarray(rng.random(S) > 0.3)
             m2 = m1 & jnp.asarray(rng.random(S) > 0.5)
-            got = triple_masked_argmax(H, m1, m2, m1 & ~m2)
-            ref = triple_masked_argmax_xla(H, m1, m2, m1 & ~m2)
-            ok_all &= all(np.allclose(np.asarray(a), np.asarray(b))
-                          for a, b in zip(got, ref))
+            ok_all &= bool(_check(H, m1, m2))
         extras["pallas_argmax_device_match"] = bool(ok_all)
-    except Exception as e:
-        extras["pallas_argmax_device_match"] = f"error: {e}"[:160]
-    _prog("pallas self-check done")
 
-    # ---- parity (exact, by scenario enumeration) ------------------------
-    _prog("parity start")
-    par = bench_parity()
-    _prog("parity done")
-    solver = par.pop("solver")
-    extras.update(par)
+    stage("pallas_check", _pallas_check, need_s=45)
 
-    # ---- LP throughput vs sequential HiGHS -------------------------------
-    batch = 512
-    tpu_rate, _ = bench_eval_throughput(solver, batch)
-    _prog("eval throughput (f64) done")
-    tpu_rate_f32, _ = bench_eval_throughput(solver, batch,
-                                            pivot_dtype=jnp.float32)
-    cpu_rate = bench_scipy_throughput(solver, n_solve=100)
-
-    # ---- SD wall-clock: sequential vs batched sampling -------------------
-    cfg1 = SDConfig(MAX_ITER=400, EVAL_FLAG=False)
-    s1 = SDSolver(solver.sp, cfg1)
-    steps1, samples1, _ = bench_sd_rate(s1, cfg1, n_iter=40)
-    cfg64 = SDConfig(MAX_ITER=6400, EVAL_FLAG=False, SAMPLE_INCREMENT=64,
-                     CHECK_EVERY=1)
-    s64 = SDSolver(solver.sp, cfg64)
-    steps64, samples64, _ = bench_sd_rate(s64, cfg64, n_iter=12)
-    _prog("sd rates done")
-    extras.update({
-        "sd_iters_per_s": round(steps1, 2),
-        "sd_samples_per_s_batch1": round(samples1, 2),
-        "sd_samples_per_s_batch64": round(samples64, 2),
-        "sd_batch64_speedup": round(samples64 / samples1, 2),
-    })
-
-    # ---- mid-scale synthetic (ssn-class): batched LP throughput ----------
-    class _Shim:
-        pass
-
-    core2, tim2, stoc2 = parse_synthetic(seed=7, n1=20, m1=3, n2=160, m2=80,
-                                         n_rv=12, support=5)
-    sp2 = attach_stoc(decompose(core2, tim2, stoc2), stoc2)
-    from stochasticdecomposition_tpu.core.state import stage_problem
-    from stochasticdecomposition_tpu.sampler import build_sampler
-
-    solver2 = _Shim()
-    solver2.pa = stage_problem(sp2)
-    solver2.spec = build_sampler(stoc2, sp2.rv_order)
-    solver2.mean_sol = np.full(20, 2.0)
-    big_batch = 256
-    big_rate_f32, big_mean_f32 = bench_eval_throughput(
-        solver2, big_batch, rounds=2, pivot_dtype=jnp.float32)
-    big_cpu_rate = bench_scipy_throughput(solver2, n_solve=20)
-    big_mean_cpu = scipy_mean_obj(solver2, n_solve=20)
-    f32_obj_err = abs(big_mean_f32 - big_mean_cpu) / max(abs(big_mean_cpu), 1)
-
-    # ---- suite scale: full SD end-to-end ---------------------------------
-    # Time-budgeted: always emit the JSON line even if the big compiles are
-    # slow on this backend (skipped instances are reported as such).
-    import os
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
-    for name, iters, si in [("ssnlike", 64, 8), ("20termlike", 64, 8),
-                            ("stormlike", 48, 8)]:
-        if time.perf_counter() - _T_START > budget:
+    # ---- 6. suite scale: full SD end-to-end ------------------------------
+    for name, iters, si, need in [("ssnlike", 64, 8, 130),
+                                  ("20termlike", 64, 8, 130),
+                                  ("stormlike", 48, 8, 180)]:
+        if left() < need:
             extras[f"sd_{name}"] = {"skipped": "bench time budget"}
             continue
-        try:
-            _prog(f"suite {name} start")
-            extras[f"sd_{name}"] = bench_suite_sd(name, iters,
-                                                  sample_increment=si)
-        except Exception as e:          # report, don't die
-            extras[f"sd_{name}"] = {"error": str(e)[:200]}
+        stage(f"suite_{name}", lambda n=name, it=iters, s=si: extras.update(
+            {f"sd_{n}": bench_suite_sd(n, it, sample_increment=s)}))
 
-    print(json.dumps({
-        "metric": "batched_subproblem_lp_throughput_large",
-        "value": round(big_rate_f32, 2),
-        "unit": "LP solves/s (80x240 LPs, f32 pivots)",
-        "vs_baseline": round(big_rate_f32 / big_cpu_rate, 3),
-        "large_cpu_scipy_lp_per_s": round(big_cpu_rate, 2),
-        "large_f32_vs_cpu_obj_relerr": round(f32_obj_err, 6),
-        "small_tpu_lp_per_s_f64": round(tpu_rate, 2),
-        "small_tpu_lp_per_s_f32pivot": round(tpu_rate_f32, 2),
-        "small_cpu_scipy_lp_per_s": round(cpu_rate, 2),
-        "small_vs_baseline": round(tpu_rate / cpu_rate, 3),
-        "device": str(jax.devices()[0]),
-        **extras,
-    }))
+    emit()
 
 
 if __name__ == "__main__":

@@ -55,6 +55,52 @@ def enumerate_scenarios(stoc: StocData, rv_order: np.ndarray
     return np.array(outs), np.array(probs)
 
 
+def scenario_count(stoc: StocData) -> int:
+    """Joint-support size without enumerating (to gate enumeration cost)."""
+    n = 1
+    seen_blocks = set()
+    for el in stoc.elements:
+        if el.dist == DIST_DISCRETE:
+            n *= len(el.probs)
+        elif el.dist == DIST_BLOCK:
+            if el.block_id not in seen_blocks:
+                seen_blocks.add(el.block_id)
+                n *= len(stoc.blocks[el.block_id].probs)
+        else:
+            return -1           # continuous: not enumerable
+    return n
+
+
+def exact_objective_fn(pa, outs: np.ndarray, probs: np.ndarray):
+    """Jitted x -> c'x + E[h(x, omega)] by FULL scenario enumeration.
+
+    Zero sampling error, so parity gaps vs the extensive-form optimum are
+    exact.  Compiled ONCE and reused across candidate solutions — on a
+    remote-compile backend every un-jitted vmap call re-traces and
+    re-compiles, which costs minutes instead of seconds.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stochasticdecomposition_tpu.core.update import subproblem_rhs_cost
+    from stochasticdecomposition_tpu.ops.simplex import solve_lp
+
+    W = jnp.asarray(outs, pa.c1.dtype) - pa.omega_mean[None, :]
+    p = jnp.asarray(probs, pa.c1.dtype)
+
+    @jax.jit
+    def obj(x):
+        x = jnp.asarray(x, pa.c1.dtype)
+
+        def h_one(wi):
+            rhs, cost = subproblem_rhs_cost(pa, x, wi)
+            return solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs).obj
+
+        return pa.c1 @ x + p @ jax.vmap(h_one)(W)
+
+    return lambda x: float(obj(x))
+
+
 def solve_extensive_form(sp: StagedProblem, outcomes: np.ndarray,
                          probs: np.ndarray, backend: str = "scipy"):
     """Solve the deterministic equivalent; returns (objective, x)."""

@@ -21,26 +21,53 @@ import time
 
 HEADER = ("problem\ttolerance\tbatch\titerations\toptimal\twall_s\t"
           "lb_estimate\teval_ub\teval_ci_lo\teval_ci_hi\teval_obs\t"
-          "pools(o/l/s/cuts)\n")
+          "pools(o/l/s/cuts)\tef_opt\texact_gap\n")
+
+# exact_objective_fn caches, keyed by problem name (the jitted enumerator
+# compiles once per problem and is reused across tolerance/batch rows).
+_parity_cache = {}
 
 
-def run_one(name, tol, batch, max_iter, eval_flag):
-    from stochasticdecomposition_tpu.config import SDConfig
+def _load(name):
     from stochasticdecomposition_tpu.models.instances import (
         INSTANCES, load_instance,
     )
     from stochasticdecomposition_tpu.models.suite import (
         SUITE, load_suite_instance,
     )
+
+    if name in INSTANCES:
+        return load_instance(name)
+    if name in SUITE:
+        return load_suite_instance(name)
+    raise ValueError(f"unknown problem {name!r}")
+
+
+def _parity_oracle(name, solver, stoc, max_scenarios):
+    """(ef_opt, exact_fn) when the joint support is enumerable, else None."""
+    if name in _parity_cache:
+        return _parity_cache[name]
+    from stochasticdecomposition_tpu.models.extensive import (
+        enumerate_scenarios, exact_objective_fn, scenario_count,
+        solve_extensive_form,
+    )
+
+    n = scenario_count(stoc)
+    out = None
+    if 0 < n <= max_scenarios:
+        outs, probs = enumerate_scenarios(stoc, solver.sp.rv_order)
+        ef_obj, _ = solve_extensive_form(solver.sp, outs, probs)
+        out = (ef_obj, exact_objective_fn(solver.pa, outs, probs))
+    _parity_cache[name] = out
+    return out
+
+
+def run_one(name, tol, batch, max_iter, eval_flag, max_scenarios=0):
+    from stochasticdecomposition_tpu.config import SDConfig
     from stochasticdecomposition_tpu.prob import decompose
     from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
 
-    if name in INSTANCES:
-        core, tim, stoc = load_instance(name)
-    elif name in SUITE:
-        core, tim, stoc = load_suite_instance(name)
-    else:
-        raise ValueError(f"unknown problem {name!r}")
+    core, tim, stoc = _load(name)
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     cfg = SDConfig(MAX_ITER=max_iter, EVAL_FLAG=eval_flag,
                    SAMPLE_INCREMENT=batch).apply_tolerance_preset(tol)
@@ -49,7 +76,13 @@ def run_one(name, tol, batch, max_iter, eval_flag):
     r = solver.solve_replication(0)
     wall = time.perf_counter() - t0
     ev = solver.evaluate_x(r.incumb_x) if eval_flag else None
-    return r, ev, wall
+    ef_opt = gap = None
+    if max_scenarios:
+        oracle = _parity_oracle(name, solver, stoc, max_scenarios)
+        if oracle is not None:
+            ef_opt, exact = oracle
+            gap = abs(exact(r.incumb_x) - ef_opt) / max(abs(ef_opt), 1e-12)
+    return r, ev, wall, ef_opt, gap
 
 
 def main(argv=None) -> int:
@@ -63,6 +96,10 @@ def main(argv=None) -> int:
     ap.add_argument("--max-iter", type=int, default=1500)
     ap.add_argument("-e", "--eval", type=int, default=1)
     ap.add_argument("-o", "--output", default="./sweep_out")
+    ap.add_argument("--parity", type=int, default=0, metavar="MAX_SCEN",
+                    help="when > 0, report the EXACT objective gap vs the "
+                         "extensive-form optimum for problems whose joint "
+                         "support has at most MAX_SCEN scenarios")
     args = ap.parse_args(argv)
 
     import jax
@@ -82,8 +119,9 @@ def main(argv=None) -> int:
             for tol in tols:
                 for batch in batches:
                     try:
-                        r, ev, wall = run_one(name, tol, batch,
-                                              args.max_iter, bool(args.eval))
+                        r, ev, wall, ef_opt, gap = run_one(
+                            name, tol, batch, args.max_iter, bool(args.eval),
+                            max_scenarios=args.parity)
                     except Exception as e:
                         row = f"{name}\t{tol}\t{batch}\tERROR: {e}\n"
                         tsv.write(row)
@@ -96,9 +134,12 @@ def main(argv=None) -> int:
                                f"{ev.ci_high:.4f}\t{ev.count}")
                     else:
                         evs = "-\t-\t-\t-"
+                    efs = f"{ef_opt:.4f}" if ef_opt is not None else "-"
+                    gps = f"{gap:.6f}" if gap is not None else "-"
                     row = (f"{name}\t{tol}\t{batch}\t{r.iterations}\t"
                            f"{int(r.optimal)}\t{wall:.2f}\t"
-                           f"{r.incumb_est:.4f}\t{evs}\t{pools}\n")
+                           f"{r.incumb_est:.4f}\t{evs}\t{pools}\t"
+                           f"{efs}\t{gps}\n")
                     tsv.write(row)
                     tsv.flush()
                     sys.stdout.write(row)
@@ -110,6 +151,7 @@ def main(argv=None) -> int:
                         "lb_estimate": r.incumb_est,
                         "eval": ev._asdict() if ev else None,
                         "pools": r.pool_sizes,
+                        "ef_opt": ef_opt, "exact_gap": gap,
                     }) + "\n")
                     jl.flush()
     print(f"\nsweep written to {tsv_path}")
