@@ -27,7 +27,8 @@ from stochasticdecomposition_tpu.core.state import (
     Capacities, ProblemArrays, SDState,
 )
 from stochasticdecomposition_tpu.core.update import (
-    calc_omega, solve_subproblem, stochastic_updates, warm_solve_subproblem,
+    calc_omega, calc_omega_batch, solve_subproblem, stochastic_updates,
+    stochastic_updates_batch, warm_solve_subproblem,
 )
 from stochasticdecomposition_tpu.ops.simplex import STATUS_OPTIMAL
 from stochasticdecomposition_tpu.sampler import SamplerSpec, sample_omega
@@ -190,12 +191,21 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
             state, cand_slot = _form_sd_cut(
                 state, state.candid_x, o_idx, new_o, k, incumbent=False)
         else:
-            # Dedup sequentially (pool state carries between observations).
-            def dedup_one(s, w_i):
-                s, oi, nf = calc_omega(s, w_i, tol)
-                return s, (oi, nf)
+            plain = int(pa.rv_d_cols.shape[0]) == 0
+            if plain:
+                # Two-phase batch dedup: same final pools/weights/slot order
+                # as B sequential calc_omega calls, one pass.
+                state, o_idxs, new_flags = calc_omega_batch(
+                    state, w_batch, tol)
+            else:
+                # Random-cost path: dedup sequentially (the randcost pool
+                # machinery consumes per-observation state).
+                def dedup_one(s, w_i):
+                    s, oi, nf = calc_omega(s, w_i, tol)
+                    return s, (oi, nf)
 
-            state, (o_idxs, new_flags) = lax.scan(dedup_one, state, w_batch)
+                state, (o_idxs, new_flags) = lax.scan(
+                    dedup_one, state, w_batch)
             state = state._replace(last_o_idx=o_idxs[-1])
 
             # Solve all B subproblems at the candidate as one vmapped batch.
@@ -220,14 +230,21 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
             state = state._replace(lp_cnt=state.lp_cnt + batch,
                                    sp_feas=state.sp_feas & all_feas)
 
-            # Pool the duals sequentially (dedup is order-dependent).
-            def upd_one(s, inp):
-                res_i, oi, nf = inp
-                s, _ = stochastic_updates(pa, s, res_i, oi, nf, k, tol)
-                return s, ()
+            if plain:
+                # Batched pooling: dedup decisions in one tiny scan, delta
+                # fills as single matmuls (update.stochastic_updates_batch).
+                state = stochastic_updates_batch(
+                    pa, state, res_b, o_idxs, new_flags, k, tol)
+            else:
+                # Random-cost path: pool the duals sequentially (the basis
+                # machinery is per-observation).
+                def upd_one(s, inp):
+                    res_i, oi, nf = inp
+                    s, _ = stochastic_updates(pa, s, res_i, oi, nf, k, tol)
+                    return s, ()
 
-            state, _ = lax.scan(upd_one, state,
-                                (res_b, o_idxs, new_flags))
+                state, _ = lax.scan(upd_one, state,
+                                    (res_b, o_idxs, new_flags))
 
             parts, state = form_cut(
                 pa, state, state.candid_x, k,

@@ -193,6 +193,195 @@ def calc_sigma(pa: ProblemArrays, state: SDState, pi, mub_bar, lidx,
     return state, idx, ~found
 
 
+def _batch_dedup(cand, pool, pool_cnt, cnt0, tol, extra_eq=None):
+    """Order-preserving two-phase dedup of a candidate batch against a pool.
+
+    Replicates EXACTLY what a sequential scan of per-item dedup would do
+    (stocUpdate.c's equalVector scans, one item at a time): item i matches
+    the pool, or an earlier batch item j < i that was itself ADDED as new
+    (items that matched the pool are never added, so near-matches to them do
+    NOT count — the tolerance-chaining semantics of the sequential scan).
+
+    cand: [B, d]; pool: [P, d] (rows >= pool_cnt are garbage).
+    extra_eq: optional [B, P] / [B, B] extra equality masks (e.g. sigma's
+    lambda-index match) given as a pair (eq_pool, eq_batch).
+    Returns (idx [B], is_new [B], new_cnt) where idx is each item's final
+    pool index and new items get consecutive slots starting at cnt0.
+    """
+    B, d = cand.shape
+    P = pool.shape[0]
+    ids = jnp.arange(P)
+    if d:
+        close_pool = jnp.all(
+            jnp.abs(cand[:, None, :] - pool[None, :, :]) <= tol, axis=2)
+        close_batch = jnp.all(
+            jnp.abs(cand[:, None, :] - cand[None, :, :]) <= tol, axis=2)
+    else:
+        close_pool = jnp.ones((B, P), bool)
+        close_batch = jnp.ones((B, B), bool)
+    if extra_eq is not None:
+        close_pool &= extra_eq[0]
+        close_batch &= extra_eq[1]
+    close_pool &= (ids[None, :] < pool_cnt)
+    earlier = jnp.tril(jnp.ones((B, B), bool), k=-1)
+
+    match_pool = jnp.any(close_pool, axis=1)                     # [B]
+    first_pool = jnp.argmax(close_pool, axis=1).astype(jnp.int32)
+
+    # is_new[i] = no pool match and no match to an earlier NEW item.
+    def scan_new(new_so_far, i):
+        hits = close_batch[i] & earlier[i] & new_so_far
+        is_new_i = ~match_pool[i] & ~jnp.any(hits)
+        return new_so_far.at[i].set(is_new_i), (is_new_i, jnp.argmax(hits))
+
+    (_, (is_new, first_new_j)) = lax.scan(
+        scan_new, jnp.zeros(B, bool), jnp.arange(B))
+
+    # Slot numbering follows batch order, exactly like the sequential scan.
+    slot = cnt0 + jnp.cumsum(is_new.astype(jnp.int32)) - 1       # [B]
+    # Resolve each item: pool hit -> pool idx; new -> own slot; else the
+    # slot of the first earlier new item it matched.
+    idx = jnp.where(match_pool, first_pool,
+                    jnp.where(is_new, slot, jnp.take(slot, first_new_j)))
+    # x64 note: jnp.sum(int32) promotes to int64 — pin the count dtype so
+    # pool counters keep their int32 dtype across steps (scan carries and
+    # downstream scatters require it).
+    new_cnt = (cnt0 + jnp.sum(is_new.astype(jnp.int32))).astype(jnp.int32)
+    return idx.astype(jnp.int32), is_new, new_cnt
+
+
+def calc_omega_batch(state: SDState, w_batch, tol: float):
+    """Batched calc_omega: dedup B observations into the omega pool in one
+    pass (same final pool contents, weights, and slot order as B sequential
+    calc_omega calls).  Returns (state, o_idxs [B], new_flags [B])."""
+    idx, is_new, cnt1 = _batch_dedup(
+        w_batch, state.omega_vals, state.omega_cnt, state.omega_cnt, tol)
+    # Scatter the new representatives (non-new rows write to a dump slot).
+    O = state.omega_vals.shape[0]
+    rows = jnp.where(is_new, idx, O)            # O = one-past-end dump row
+    omega_vals = jnp.zeros(
+        (O + 1, state.omega_vals.shape[1]),
+        state.omega_vals.dtype).at[:O].set(state.omega_vals)
+    omega_vals = omega_vals.at[rows].set(w_batch)[:O]
+    omega_w = state.omega_w.at[idx].add(1)
+    return state._replace(omega_vals=omega_vals, omega_w=omega_w,
+                          omega_cnt=cnt1), idx, is_new
+
+
+def stochastic_updates_batch(pa: ProblemArrays, state: SDState, res_b,
+                             o_idxs, new_o, k, tol: float):
+    """Batched stochasticUpdates for the plain-randomness path: pools B
+    subproblem duals with the same final state as a sequential lax.scan of
+    stochastic_updates, but with the dedup decisions in one tiny scan and
+    ALL delta fills as single matmuls (the scan version dispatches B
+    sequential per-observation fills, which dominates the batched step).
+
+    The delta table is a pure function of (lambda_row, omega_col), so fill
+    order does not affect values — only coverage matters: new-lambda rows
+    are filled against the already-extended omega pool and new-omega columns
+    against the already-extended lambda pool; (new, new) pairs are written
+    twice with identical values.
+    """
+    nb = pa.rv_b_rows.shape[0]
+    nC = pa.rv_C_rows.shape[0]
+    dtype = state.lambda_vals.dtype
+    B = o_idxs.shape[0]
+
+    feas = res_b.status == STATUS_OPTIMAL                        # [B]
+    pi_b = jnp.where(feas[:, None], res_b.pi, res_b.farkas)      # [B, m2]
+    rd = res_b.farkas @ pa.D                                     # [B, n2]
+    u_fin = jnp.where(jnp.isfinite(pa.u2), pa.u2, 0.0)
+    l_fin = jnp.where(jnp.isfinite(pa.l2), pa.l2, 0.0)
+    mub_ray = -jnp.sum(u_fin[None, :] * jnp.maximum(rd, 0.0) +
+                       l_fin[None, :] * jnp.minimum(rd, 0.0), axis=1)
+    at_bound = (res_b.cstat == AT_LOWER) | (res_b.cstat == AT_UPPER)
+    mu_opt = jnp.sum(jnp.where(at_bound, res_b.dj * res_b.y, 0.0), axis=1)
+    mub = jnp.where(feas, mu_opt, mub_ray)                       # [B]
+
+    # ---- lambda dedup (calcLambda x B) -----------------------------------
+    lam_b = pi_b[:, pa.lambda_rows] if pa.lambda_rows.shape[0] else \
+        jnp.zeros((B, 0), dtype)
+    lidx, new_lam, lam_cnt1 = _batch_dedup(
+        lam_b, state.lambda_vals, state.lambda_cnt, state.lambda_cnt, tol)
+    L = state.lambda_vals.shape[0]
+    lrows = jnp.where(new_lam, lidx, L)
+    lambda_vals = jnp.zeros((L + 1, state.lambda_vals.shape[1]), dtype) \
+        .at[:L].set(state.lambda_vals)
+    lambda_vals = lambda_vals.at[lrows].set(lam_b)[:L]
+    state = state._replace(lambda_vals=lambda_vals, lambda_cnt=lam_cnt1)
+
+    # ---- delta fills, batched --------------------------------------------
+    # New-lambda rows over ALL omegas (calcDelta Case II), one matmul; then
+    # new-omega columns over ALL lambdas (Case I), one matmul.  Scatter rows
+    # via a [B]->[L] one-hot so duplicate/non-new lanes drop out.
+    if nb:
+        row_sel = (jnp.arange(L)[None, :] == lidx[:, None]) & \
+            new_lam[:, None]                                     # [B, L]
+        rows_pib = (state.omega_vals[:, :nb] @ (pa.bmap.T @ lam_b.T)).T
+        delta_pib = jnp.where(jnp.any(row_sel, axis=0)[:, None],
+                              row_sel.T.astype(dtype) @ rows_pib,
+                              state.delta_pib)
+        cols_pib = lambda_vals @ (pa.bmap @ state.omega_vals[:, :nb].T)
+        col_sel = (jnp.arange(state.delta_pib.shape[1])[None, :] ==
+                   o_idxs[:, None]) & new_o[:, None]             # [B, O]
+        new_col = jnp.any(col_sel, axis=0)                       # [O]
+        delta_pib = jnp.where(new_col[None, :], cols_pib, delta_pib)
+    else:
+        delta_pib = state.delta_pib
+        new_col = jnp.zeros(state.delta_pib.shape[1], bool)
+    if nC:
+        lamC_b = lam_b[:, pa.lam_pos_C]                          # [B, nC]
+        rows_piC = jnp.einsum(
+            "oc,bc,cr->bor", state.omega_vals[:, nb:nb + nC], lamC_b,
+            pa.Cgroup)                                           # [B, O, nCr]
+        row_sel = (jnp.arange(L)[None, :] == lidx[:, None]) & \
+            new_lam[:, None]
+        delta_piC = jnp.where(
+            jnp.any(row_sel, axis=0)[:, None, None],
+            jnp.einsum("bl,bor->lor", row_sel.astype(dtype), rows_piC),
+            state.delta_piC)
+        lamC_all = lambda_vals[:, pa.lam_pos_C]                  # [L, nC]
+        cols_piC = jnp.einsum(
+            "oc,lc,cr->lor", state.omega_vals[:, nb:nb + nC], lamC_all,
+            pa.Cgroup)
+        delta_piC = jnp.where(new_col[None, :, None], cols_piC, delta_piC)
+    else:
+        delta_piC = state.delta_piC
+    state = state._replace(delta_pib=delta_pib, delta_piC=delta_piC)
+
+    # ---- sigma dedup (calcSigma x B) --------------------------------------
+    pib_b = pi_b @ pa.b_bar + mub                                # [B]
+    piC_b = (pi_b @ pa.C_bar)[:, pa.C_cols] if pa.C_cols.shape[0] else \
+        jnp.zeros((B, 0), dtype)
+    cand = jnp.concatenate([pib_b[:, None], piC_b], axis=1)      # [B, 1+nCc]
+    pool = jnp.concatenate(
+        [state.sigma_pib[:, None], state.sigma_piC], axis=1)
+    # A new lambda forces a new sigma entry (calcSigma's ~new_lambda gate):
+    # pool rows never match a new-lambda item, and within the batch items
+    # only match earlier items with the same FINAL lambda index (new-lambda
+    # items share their index only with later duplicates, which the
+    # eq_batch lidx test handles).
+    eq_pool = (state.sigma_lidx[None, :] == lidx[:, None]) & \
+        ~new_lam[:, None]
+    eq_batch = lidx[None, :] == lidx[:, None]
+    sidx, new_sig, sig_cnt1 = _batch_dedup(
+        cand, pool, state.sigma_cnt, state.sigma_cnt, tol,
+        extra_eq=(eq_pool, eq_batch))
+    S = state.sigma_pib.shape[0]
+    srows = jnp.where(new_sig, sidx, S)
+    pad = lambda a, fill=0: jnp.concatenate(  # noqa: E731
+        [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+    sigma_pib = pad(state.sigma_pib).at[srows].set(pib_b)[:S]
+    sigma_piC = pad(state.sigma_piC).at[srows].set(piC_b)[:S]
+    sigma_lidx = pad(state.sigma_lidx).at[srows].set(lidx)[:S]
+    sigma_ck = pad(state.sigma_ck).at[srows].set(k)[:S]
+    sigma_feas = pad(state.sigma_feas.astype(jnp.int32)).at[srows].set(
+        feas.astype(jnp.int32))[:S].astype(bool)
+    return state._replace(
+        sigma_pib=sigma_pib, sigma_piC=sigma_piC, sigma_lidx=sigma_lidx,
+        sigma_ck=sigma_ck, sigma_feas=sigma_feas, sigma_cnt=sig_cnt1)
+
+
 def stochastic_updates(pa: ProblemArrays, state: SDState, res, o_idx, new_o,
                        k, tol: float):
     """Full update pass for one subproblem dual (stochasticUpdates,

@@ -41,6 +41,10 @@ SUITE = {
     "lands3like": dict(seed=104, n1=4, m1=2, n2=12, m2=7, n_rv=3, support=3),
     "fleet1like": dict(seed=105, n1=10, m1=4, n2=40, m2=20, n_rv=8,
                        support=4, rand_d=4),
+    # tiny random-cost member with ENUMERABLE support (3^4 = 81 scenarios):
+    # the exact-parity oracle for the v2.0 basis/phi/psi path on device
+    "fleetminilike": dict(seed=110, n1=4, m1=2, n2=8, m2=5, n_rv=2,
+                          support=3, rand_d=2),
     # mid scale
     "4nodelike": dict(seed=106, n1=52, m1=14, n2=186, m2=74, n_rv=12,
                       support=5),

@@ -177,9 +177,19 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
                         f"SD cut formation failed in replication {reps[i]} "
                         f"at k={int(ks[i]) + 1}")
                 if not bool(master_ok[i]):
-                    raise RuntimeError(
-                        f"master QP failed in replication {reps[i]} at "
-                        f"k={int(ks[i]) + 1}")
+                    # Transient non-convergence: retry as a standalone
+                    # dispatch before erroring (see runner.solve_replication
+                    # — uncertified masters never corrupt cut validity).
+                    log("M")
+                    st_i = _extract_rep(stacked, i)
+                    st_i = solver.substeps["master_step"](
+                        st_i._replace(master_ok=jnp.bool_(True)))
+                    if not bool(st_i.master_ok):
+                        raise RuntimeError(
+                            f"master QP failed in replication {reps[i]} at "
+                            f"k={int(ks[i]) + 1} (retry included)")
+                    stacked = _scatter_rep(stacked, i, st_i)
+                    scattered = True
             if scattered:
                 snap = np.asarray(snapshot(stacked))
             kmin = int(np.min(snap[0][:len(reps)][~done[:len(reps)]])) \

@@ -95,6 +95,70 @@ def test_check_every_chunked_stepping_matches():
                                rtol=1e-9)
 
 
+@pytest.mark.parametrize("name,batch", [
+    ("lands", 16),
+    pytest.param("pgp2like", 24, marks=pytest.mark.slow),
+])
+def test_batch_pooling_identical_to_sequential_scan(name, batch):
+    """stochastic_updates_batch (two-phase dedup + matmul delta fills) must
+    produce EXACTLY the same pools — contents, slot order, counts, weights,
+    delta tables — as a sequential scan of per-observation updates over the
+    same vmapped LP results (the semantics it replaces in core/step.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stochasticdecomposition_tpu.core.state import init_state
+    from stochasticdecomposition_tpu.core.update import (
+        calc_omega, calc_omega_batch, solve_subproblem, stochastic_updates,
+        stochastic_updates_batch,
+    )
+    from stochasticdecomposition_tpu.sampler import sample_omega
+
+    core, tim, stoc = load_instance(name)
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    cfg = SDConfig(MAX_ITER=64, EVAL_FLAG=False, SAMPLE_INCREMENT=batch)
+    solver = SDSolver(sp, cfg)
+    pa, tol = solver.pa, cfg.TOLERANCE
+    state0 = init_state(pa, solver.caps, cfg, solver.mean_sol,
+                        jax.random.PRNGKey(11))
+    # Warm the pools with one batch, then compare on a second batch so both
+    # pool-extension and dedup-against-pool paths are exercised.
+    for rnd in range(2):
+        w = sample_omega(solver.spec, jax.random.PRNGKey(100 + rnd), batch,
+                         dtype=pa.c1.dtype) - pa.omega_mean[None, :]
+        k = jnp.int32((rnd + 1) * batch)
+
+        # (a) sequential reference: per-obs dedup + updates.
+        st_a = state0
+        oi_a, nf_a = [], []
+        for i in range(batch):
+            st_a, oi, nf = calc_omega(st_a, w[i], tol)
+            oi_a.append(int(oi))
+            nf_a.append(bool(nf))
+        res_b = jax.vmap(lambda wi: solve_subproblem(
+            pa, state0.candid_x, wi, init_basis=state0.warm_basis,
+            init_at_upper=state0.warm_atup))(st_a.omega_vals[jnp.asarray(oi_a)])
+        for i in range(batch):
+            st_a, _ = stochastic_updates(
+                pa, st_a, jax.tree.map(lambda a: a[i], res_b),
+                jnp.int32(oi_a[i]), jnp.bool_(nf_a[i]), k, tol)
+
+        # (b) batched path under test.
+        st_b, oi_b, nf_b = calc_omega_batch(state0, w, tol)
+        np.testing.assert_array_equal(np.asarray(oi_b), np.asarray(oi_a))
+        np.testing.assert_array_equal(np.asarray(nf_b), np.asarray(nf_a))
+        st_b = stochastic_updates_batch(pa, st_b, res_b, oi_b, nf_b, k, tol)
+
+        for field in ("omega_vals", "omega_w", "omega_cnt", "lambda_vals",
+                      "lambda_cnt", "sigma_pib", "sigma_piC", "sigma_lidx",
+                      "sigma_ck", "sigma_feas", "sigma_cnt", "delta_pib",
+                      "delta_piC"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_b, field)),
+                np.asarray(getattr(st_a, field)), err_msg=field)
+        state0 = st_b
+
+
 @pytest.mark.slow
 def test_eval_f32_pivot_statistically_accurate():
     solver, ef_obj = _setup("pgp2like", MAX_ITER=120, EVAL_FLAG=False)
