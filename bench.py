@@ -47,16 +47,16 @@ def bench_eval_throughput(solver, batch, rounds=8, pivot_dtype=None):
                          pivot_dtype=pivot_dtype)
     x = jnp.asarray(solver.mean_sol, solver.pa.c1.dtype)
     key = jax.random.PRNGKey(0)
-    s0, _, ok0 = fn(x, key)          # warmup/compile
-    jax.block_until_ready((s0, ok0))
-    mean_obj = float(s0) / max(int(ok0), 1)
+    m0, _, ok0 = fn(x, key)          # warmup/compile
+    jax.block_until_ready((m0, ok0))
+    mean_obj = float(m0)             # batch returns (mean, M2, n_ok)
     t0 = time.perf_counter()
     n = 0
     for i in range(rounds):
         key, sub = jax.random.split(key)
-        s, sq, ok = fn(x, sub)
+        m, m2, ok = fn(x, sub)
         n += batch
-    jax.block_until_ready((s, sq, ok))
+    jax.block_until_ready((m, m2, ok))
     dt = time.perf_counter() - t0
     return n / dt, mean_obj
 
@@ -253,8 +253,17 @@ def main():
         return budget - (time.perf_counter() - _T_START)
 
     # The JSON line is the deliverable: emit whatever has been measured so
-    # far if the driver's timeout SIGTERMs us mid-stage.
+    # far if the driver's timeout SIGTERMs us mid-stage.  The handler only
+    # sets a flag-guarded emit: running json/print inside a signal handler
+    # could double-print if SIGTERM lands during the final emit().
+    emitted = [False]
+
     def emit(rc=None):
+        if emitted[0]:
+            if rc is not None:
+                os._exit(rc)
+            return
+        emitted[0] = True
         payload = {
             "metric": "batched_subproblem_lp_throughput_large",
             "value": extras.pop("_headline_value", -1.0),
@@ -267,7 +276,9 @@ def main():
         if rc is not None:
             os._exit(rc)
 
-    signal.signal(signal.SIGTERM, lambda *_: emit(rc=0))
+    # Exit 143 (= 128+SIGTERM) so callers checking return codes still see
+    # that the run was cut short, while the JSON line carries partial data.
+    signal.signal(signal.SIGTERM, lambda *_: emit(rc=143))
 
     def stage(name, fn, need_s=0.0):
         """Run one budgeted stage; record wall time; never die."""
@@ -357,7 +368,7 @@ def main():
                          CHECK_EVERY=4)
         s64 = SDSolver(solver.sp, cfg64)
         steps64, samples64, _ = bench_sd_rate(s64, cfg64, n_iter=8)
-        samples64 *= 4                       # bench_sd_rate counts dispatches
+        samples64 *= cfg64.CHECK_EVERY       # bench_sd_rate counts dispatches
         extras["sd_samples_per_s_batch64"] = round(samples64, 2)
         extras["sd_batch64_speedup"] = round(samples64 / samples1, 2)
 

@@ -49,7 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", dest="resume_from", default=None,
                    metavar="CKPT.npz",
                    help="resume replication 0 from a saved state")
-    p.add_argument("--seed-offset", dest="seed_offset", type=int, default=0)
+    p.add_argument("--seed-offset", dest="seed_offset", type=int, default=0,
+                   metavar="K",
+                   help="rotate the RUN_SEED/EVAL_SEED banks by K entries so "
+                        "replication r uses seed bank entry (r+K) mod 30 — "
+                        "lets independent jobs cover disjoint seeds")
     p.add_argument("--metrics-every", dest="metrics_every", type=int,
                    default=0, metavar="N",
                    help="write a per-iteration JSONL metrics stream "
@@ -67,6 +71,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "environment: COORDINATOR_ADDRESS/NUM_PROCESSES/"
                         "PROCESS_ID, or cloud auto-detection)")
     return p
+
+
+def apply_seed_offset(cfg: SDConfig, offset: int) -> SDConfig:
+    """Rotate the RUN_SEED/EVAL_SEED banks (config.sd:22-52,64-93) so
+    replication r draws bank entry (r + offset) mod bank size — lets
+    independent jobs cover disjoint seeds (``--seed-offset``)."""
+    off = offset % len(cfg.RUN_SEED)
+    cfg.RUN_SEED = cfg.RUN_SEED[off:] + cfg.RUN_SEED[:off]
+    offe = offset % len(cfg.EVAL_SEED)
+    cfg.EVAL_SEED = cfg.EVAL_SEED[offe:] + cfg.EVAL_SEED[:offe]
+    return cfg
 
 
 def main(argv=None) -> int:
@@ -94,6 +109,8 @@ def main(argv=None) -> int:
         cfg.COMPROMISE_PROB = bool(args.compromise)
     if args.max_iter is not None:
         cfg.MAX_ITER = args.max_iter
+    if args.seed_offset:
+        apply_seed_offset(cfg, args.seed_offset)
     if cfg.MULTIPLE_REP == 1:
         cfg.COMPROMISE_PROB = False
 
@@ -150,6 +167,14 @@ def main(argv=None) -> int:
                         metrics_dir=out_dir if args.metrics_every else None,
                         time_phases=args.time_phases)
     print()
+    # Result files/summaries are owned by the coordinator process; worker
+    # processes in a multi-host run exit quietly after the meshed program
+    # (the compromise epilogue was already coordinator-gated in run()).
+    from stochasticdecomposition_tpu.parallel.distributed import (
+        is_coordinator,
+    )
+    if not is_coordinator():
+        return 0
     for r in result.replications:
         sdio.print_optimization_summary(r, cfg.MAX_ITER)
         if r.eval is not None:

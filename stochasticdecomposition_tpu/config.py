@@ -130,6 +130,19 @@ class SDConfig:
     MEMORY_BUDGET_GB: float = 12.0
 
     def __post_init__(self):
+        # Mixed-integer masters (config.sd:10-11, twoSD.h:33) are not
+        # implemented in this framework; fail loudly rather than silently
+        # running a continuous relaxation in their place.
+        if self.MASTER_TYPE in (MASTER_MILP, MASTER_MIQP):
+            raise NotImplementedError(
+                f"MASTER_TYPE={self.MASTER_TYPE} (MILP/MIQP) is not "
+                "implemented; supported types are 0 (LP) and 5 (regularized "
+                "QP). A mixed-integer master would require a branch-and-"
+                "bound wrapper around the LP/QP kernels.")
+        if self.MASTER_TYPE not in (MASTER_LP, MASTER_QP):
+            raise ValueError(
+                f"unknown MASTER_TYPE={self.MASTER_TYPE}; use 0 (LP) or "
+                "5 (regularized QP)")
         if self.MULTIPLE_REP == 1:
             # A compromise problem needs >1 replication (twoSD.c:248-250).
             self.COMPROMISE_PROB = False

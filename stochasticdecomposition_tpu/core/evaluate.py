@@ -34,7 +34,13 @@ class EvalResult(NamedTuple):
 
 def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
                     pivot_dtype=None):
-    """Jitted: (x, key) -> (sum, sumsq, n_ok) over one observation batch.
+    """Jitted: (x, key) -> (mean, M2, n_ok) over one observation batch.
+
+    ``mean`` is the batch mean of the ok lanes and ``M2`` the sum of squared
+    deviations from it — the per-batch Welford statistics (evaluate.c:86-93).
+    The host merges batches with :func:`welford_merge`; naive sum/sum-of-
+    squares would lose ~8 digits to cancellation at storm-scale magnitudes
+    (~1.5e7 recourse values with comparatively tiny variance).
 
     ``pivot_dtype=jnp.float32`` runs the simplex pivot loops on the MXU with
     f64 final cleanup (cfg.EVAL_F32_PIVOT)."""
@@ -64,9 +70,31 @@ def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
 
         objs, ok = jax.vmap(solve_one)(w)
         objs = jnp.where(ok, objs, 0.0)
-        return jnp.sum(objs), jnp.sum(objs * objs), jnp.sum(ok)
+        n_ok = jnp.sum(ok)
+        mean = jnp.sum(objs) / jnp.maximum(n_ok, 1)
+        dev = jnp.where(ok, objs - mean, 0.0)
+        m2 = jnp.sum(dev * dev)
+        return mean, m2, n_ok
 
     return jax.jit(eval_batch)
+
+
+def welford_merge(n, mean, M2, nb, mean_b, m2_b):
+    """Chan-style parallel merge of two Welford accumulators.
+
+    The batched analog of the reference's scalar update (evaluate.c:86-93):
+    combines (count, mean, sum-of-squared-deviations) statistics without the
+    catastrophic cancellation of sum/sum-of-squares accumulation."""
+    nb = int(nb)
+    if nb == 0:
+        return n, mean, M2
+    mean_b = float(mean_b)
+    m2_b = float(m2_b)
+    n_new = n + nb
+    delta = mean_b - mean
+    mean = mean + delta * nb / n_new
+    M2 = M2 + m2_b + delta * delta * n * nb / n_new
+    return n_new, mean, M2
 
 
 def evaluate(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig, x,
@@ -87,22 +115,18 @@ def evaluate(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig, x,
     fn = eval_batch_fn or make_eval_batch(pa, spec, batch)
     x = jnp.asarray(x, pa.c1.dtype)
 
-    tot = 0.0
-    totsq = 0.0
     n = 0
     n_drawn = 0
     mean = 0.0
+    M2 = 0.0
     stdev = float("inf")
     while n < max_obs:
         key, sub = jax.random.split(key)
-        s, sq, ok = fn(x, sub)
-        tot += float(s)
-        totsq += float(sq)
-        n += int(ok)
+        mb, m2b, ok = fn(x, sub)
+        n, mean, M2 = welford_merge(n, mean, M2, ok, mb, m2b)
         n_drawn += batch
         if n > 1:
-            mean = tot / n
-            var = max((totsq - n * mean * mean) / (n - 1), 0.0)
+            var = max(M2 / (n - 1), 0.0)
             stdev = math.sqrt(var / n)
         if n >= cfg.EVAL_MIN_ITER and 3.92 * stdev <= cfg.EVAL_ERROR * abs(mean):
             break

@@ -130,7 +130,13 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
             max_cut_height(pa, state, state.incumb_x, k)
         state = state._replace(incumb_est=incumb_est)
 
-        improved = (candid_est - incumb_est) < cfg.R1 * state.gamma
+        # An uncertified master (master_ok False) may have produced a
+        # slightly first-stage-infeasible candidate; never promote it to
+        # incumbent.  This matters under CHECK_EVERY>1 where the host-loop
+        # retry (runner.py) only re-solves the FINAL master of a chunk and
+        # could not undo a mid-chunk replacement.
+        improved = ((candid_est - incumb_est) < cfg.R1 * state.gamma) \
+            & state.master_ok
 
         def _replace(s: SDState) -> SDState:
             # Proximal rescale (soln.c:69-74).

@@ -252,13 +252,20 @@ def solve_qp(Q, c, A, b, G, h, *, max_iter: int = 60, tol: float = 1e-9,
         # algorithmic TOLERANCE (1e-3) consuming these solutions.
         feas = jnp.all(G @ v_p - h <= 1e-7 * (1.0 + jnp.abs(h))) \
             if mi else jnp.bool_(True)
-        feas &= jnp.min(z_p) >= -1e-7 * (1.0 + jnp.max(jnp.abs(z_p)))
+        # Dual nonnegativity is tested against the DUAL DATA scale (1+max|c|),
+        # not max|z_p|: with a wide z_p spread the latter would let a
+        # meaningfully negative multiplier pass, get clamped to 0 below, and
+        # corrupt the duals feeding pi_cuts / the bootstrap lower bound.
+        feas &= jnp.min(z_p) >= -1e-7 * scale_d
         if me:
             feas &= jnp.all(jnp.abs(A @ v_p - b) <= 1e-7 * (1.0 + jnp.abs(b)))
         rd_p = Q @ v_p + c + (A.T @ y_p if me else 0.0) + \
             G.T @ jnp.maximum(z_p, 0.0)
         stat_ok = jnp.max(jnp.abs(rd_p)) <= soft * scale_d
-        use = feas & (done | stat_ok)
+        # Adopt the polished point only when it passes the FULL KKT check
+        # (stationarity included) — never replace an already-converged IPM
+        # solution with a merely-feasible polish.
+        use = feas & stat_ok
         v = jnp.where(use, v_p, v)
         y = jnp.where(use, y_p, y) if me else y
         z = jnp.where(use, jnp.maximum(z_p, 0.0), z)

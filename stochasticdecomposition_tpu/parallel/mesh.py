@@ -112,6 +112,12 @@ def make_sharded_eval(pa, spec, batch: int, mesh: Mesh):
 
         objs, ok = jax.vmap(solve_one)(w)
         objs = jnp.where(ok, objs, 0.0)
-        return jnp.sum(objs), jnp.sum(objs * objs), jnp.sum(ok)
+        # Same (mean, M2, n_ok) Welford-batch contract as make_eval_batch;
+        # the sums below are global (XLA inserts the cross-device psum).
+        n_ok = jnp.sum(ok)
+        mean = jnp.sum(objs) / jnp.maximum(n_ok, 1)
+        dev = jnp.where(ok, objs - mean, 0.0)
+        m2 = jnp.sum(dev * dev)
+        return mean, m2, n_ok
 
     return jax.jit(eval_batch)

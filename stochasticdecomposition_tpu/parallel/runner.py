@@ -43,14 +43,32 @@ from stochasticdecomposition_tpu.parallel.mesh import (
 )
 
 
-def _extract_rep(stacked, i: int):
-    """Pull replication i out of a stacked state (device gather)."""
-    return jax.tree.map(lambda a: a[i], stacked)
+def _make_wave_helpers(mesh, shardings):
+    """Extract/scatter/snapshot over the (rep, obs) mesh.
 
+    Outputs that the host reads are forced FULLY REPLICATED
+    (``P()`` out_shardings): under multi-host execution each process only
+    addresses its local shard of a rep-sharded array, and ``np.asarray`` /
+    ``float`` on a non-addressable shard raises — replication makes every
+    host-visible value readable on every process (and is free
+    single-process)."""
+    replicated = NamedSharding(mesh, P())
 
-def _scatter_rep(stacked, i: int, st):
-    """Write a single-rep state back into slot i of the stacked state."""
-    return jax.tree.map(lambda a, b: a.at[i].set(b), stacked, st)
+    extract = jax.jit(
+        lambda s, i: jax.tree.map(lambda a: a[i], s),
+        out_shardings=replicated)
+
+    scatter = jax.jit(
+        lambda s, i, st: jax.tree.map(lambda a, b: a.at[i].set(b), s, st),
+        out_shardings=shardings, donate_argnums=0)
+
+    snapshot = jax.jit(lambda s: jnp.stack([
+        s.k.astype(jnp.float64), s.dual_stable.astype(jnp.float64),
+        s.candid_est.astype(jnp.float64), s.incumb_est.astype(jnp.float64),
+        s.sp_feas.astype(jnp.float64), s.cut_ok.astype(jnp.float64),
+        s.master_ok.astype(jnp.float64)]), out_shardings=replicated)
+
+    return extract, scatter, snapshot
 
 
 def make_masked_multi_rep_step(pa, spec, cfg: SDConfig, mesh):
@@ -95,12 +113,9 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
     done_sharding = NamedSharding(mesh, P("rep"))
     step = make_masked_multi_rep_step(solver.pa, solver.spec, cfg, mesh)
     # Control scalars for the whole wave packed into one [7, W] transfer
-    # (see runner.SDSolver._snapshot for why).
-    snapshot = jax.jit(lambda s: jnp.stack([
-        s.k.astype(jnp.float64), s.dual_stable.astype(jnp.float64),
-        s.candid_est.astype(jnp.float64), s.incumb_est.astype(jnp.float64),
-        s.sp_feas.astype(jnp.float64), s.cut_ok.astype(jnp.float64),
-        s.master_ok.astype(jnp.float64)]))
+    # (see runner.SDSolver._snapshot for why); extract/scatter with
+    # host-readable (replicated) outputs under multi-host meshes.
+    _extract_rep, _scatter_rep, snapshot = _make_wave_helpers(mesh, shardings)
 
     results: List[ReplicationResult] = []
     R = cfg.MULTIPLE_REP
@@ -120,7 +135,12 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
 
         states = [init_state(solver.pa, solver.caps, cfg, solver.mean_sol, k)
                   for k in run_keys]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        # Stage through host numpy: device_put of numpy onto a global
+        # sharding works under multi-host (every process computes the same
+        # values and contributes its addressable shards), while device_put
+        # of a process-local device array would not.
+        stacked = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *states)
         stacked = jax.device_put(stacked, shardings)
         t_setup = time.monotonic() - t0
 
@@ -145,7 +165,11 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
                         and pre_test(float(cand[i]), float(inc[i]),
                                      cfg.PRE_EPSILON):
                     eval_keys[i], sub = jax.random.split(eval_keys[i])
-                    if bool(solver.full_test(_extract_rep(stacked, i), sub)):
+                    # Pass the key as host numpy: a process-local device
+                    # array cannot mix with global-mesh state under
+                    # multi-host execution.
+                    if bool(solver.full_test(_extract_rep(stacked, i),
+                                             np.asarray(sub))):
                         done[i] = True
                         optimal[i] = True
                         log(">")
@@ -154,7 +178,13 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
             if done.all():
                 break
 
-            stacked = step(stacked, jnp.asarray(done))
+            # Build the rep-sharded done mask as a GLOBAL array: every
+            # process computes the same host values and contributes its
+            # addressable shards (jit itself refuses to shard plain numpy
+            # across processes).
+            done_dev = jax.make_array_from_callback(
+                done.shape, done_sharding, lambda idx: done[idx])
+            stacked = step(stacked, done_dev)
             snap = np.asarray(snapshot(stacked))
 
             # Per-replication feasibility / failure handling.

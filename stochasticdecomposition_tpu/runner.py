@@ -296,6 +296,16 @@ class SDSolver:
         checkpointing is per-replication only in the sequential path.
         """
         cfg = self.cfg
+        # Host-side epilogues — out-of-sample evaluation, the compromise QP
+        # (compromise.c:249-311), and result files — run on the coordinator
+        # only: under multi-host execution every process executes the meshed
+        # SD program, but duplicating the epilogue would duplicate file
+        # writes and waste eval solves (all processes hold identical
+        # replicated results).
+        from stochasticdecomposition_tpu.parallel.distributed import (
+            is_coordinator,
+        )
+        coord = is_coordinator()
         if mesh is not None:
             if checkpoint_every or resume_from:
                 raise ValueError(
@@ -305,7 +315,7 @@ class SDSolver:
                 run_replications_meshed,
             )
             reps = run_replications_meshed(self, mesh, log=log)
-            if cfg.EVAL_FLAG:
+            if cfg.EVAL_FLAG and coord:
                 for r in reps:
                     r.eval = self.evaluate_x(r.incumb_x, r.rep)
         else:
@@ -337,7 +347,7 @@ class SDSolver:
                 reps.append(r)
         result = RunResult(problem=self.sp.name, replications=reps)
 
-        if cfg.COMPROMISE_PROB and len(reps) > 1:
+        if cfg.COMPROMISE_PROB and len(reps) > 1 and coord:
             entries = [r.batch_entry for r in reps]
             cx, ax = solve_compromise(self.pa, cfg, entries)
             result.compromise_x = cx

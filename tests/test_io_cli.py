@@ -53,6 +53,33 @@ COMPROMISE_PROB	1
     assert cfg.apply_tolerance_preset("l").EPSILON == 0.01
 
 
+def test_mixed_integer_master_types_rejected():
+    # MASTER_TYPE 1 (MILP) / 7 (MIQP) are defined by the reference config
+    # schema (config.sd:10-11) but unimplemented here: requesting them must
+    # fail loudly, never silently run a continuous relaxation.
+    with pytest.raises(NotImplementedError, match="MILP/MIQP"):
+        SDConfig(MASTER_TYPE=1)
+    with pytest.raises(NotImplementedError, match="MILP/MIQP"):
+        SDConfig(MASTER_TYPE=7)
+    with pytest.raises(ValueError, match="unknown MASTER_TYPE"):
+        SDConfig(MASTER_TYPE=3)
+
+
+def test_seed_offset_rotates_banks():
+    from stochasticdecomposition_tpu.cli import apply_seed_offset, build_parser
+
+    args = build_parser().parse_args(["-p", "lands", "--seed-offset", "5"])
+    assert args.seed_offset == 5
+    base = SDConfig()
+    cfg = apply_seed_offset(SDConfig(), 5)
+    # Replication 0 now draws what bank entry 5 held; banks stay permutations.
+    assert cfg.RUN_SEED[0] == base.RUN_SEED[5]
+    assert cfg.EVAL_SEED[0] == base.EVAL_SEED[5]
+    assert sorted(cfg.RUN_SEED) == sorted(base.RUN_SEED)
+    # Offset 30 is a full rotation (identity).
+    assert apply_seed_offset(SDConfig(), 30).RUN_SEED == base.RUN_SEED
+
+
 @pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     from stochasticdecomposition_tpu.cli import main
@@ -146,12 +173,12 @@ def test_sharded_eval_matches_single(monkeypatch):
     x = jnp.asarray(solver.mean_sol)
     key = jax.random.PRNGKey(3)
     with mesh:
-        s_sh, sq_sh, ok_sh = make_sharded_eval(
+        m_sh, m2_sh, ok_sh = make_sharded_eval(
             solver.pa, solver.spec, batch, mesh)(x, key)
-    s1, sq1, ok1 = make_eval_batch(solver.pa, solver.spec, batch)(x, key)
+    m1, m21, ok1 = make_eval_batch(solver.pa, solver.spec, batch)(x, key)
     assert int(ok_sh) == int(ok1)
-    np.testing.assert_allclose(float(s_sh), float(s1), rtol=1e-10)
-    np.testing.assert_allclose(float(sq_sh), float(sq1), rtol=1e-10)
+    np.testing.assert_allclose(float(m_sh), float(m1), rtol=1e-10)
+    np.testing.assert_allclose(float(m2_sh), float(m21), rtol=1e-8)
 
 
 @pytest.mark.slow
