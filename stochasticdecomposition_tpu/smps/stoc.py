@@ -2,7 +2,13 @@
 
 Replaces spAlgorithms ``readStoc`` (used at twoSD.c:272).  Supports the INDEP
 (DISCRETE / NORMAL / UNIFORM) and BLOCKS DISCRETE sections, which is the
-coverage the reference documents (reference README.md:23).
+coverage the reference documents (reference README.md:23), plus SCENARIOS
+sections (beyond the reference: several SIPLIB originals ship as SCENARIOS),
+which are lowered at parse time to one BLOCKS-equivalent joint distribution —
+each scenario resolves to a full outcome vector over the union of random
+positions (inheriting unlisted values from its parent scenario, ROOT = core
+values), so every downstream consumer (sampler, decomposition, extensive
+form) sees ordinary block randomness.
 
 Each random element is located by a (column, row) pair:
   * column == 'RHS' (or any name that is not a core column)  ->  RHS entry b_i
@@ -112,6 +118,9 @@ def read_stoc(path: str, core: CoreProblem) -> StocData:
     disc_probs: dict = {}
     # BLOCKS state.
     cur_block: Optional[dict] = None
+    # SCENARIOS state: list of {name, parent, prob, over:{(kind,r,c): val}}.
+    scenarios: List[dict] = []
+    scen_positions: dict = {}      # (kind,r,c) -> first-seen order
 
     def _get_element(kind, r, c, dist) -> int:
         key = (kind, r, c)
@@ -132,6 +141,60 @@ def read_stoc(path: str, core: CoreProblem) -> StocData:
             elements[i].block_id = len(blocks)
         blocks.append(blk)
         cur_block = None
+
+    def _flush_scenarios():
+        """Lower the accumulated SCENARIOS section to one Block.
+
+        Every scenario becomes one joint outcome over the union of random
+        positions; unlisted positions inherit the parent scenario's value
+        (ROOT = the core problem's value), per the SMPS scenario-tree
+        convention.  For a two-stage problem the branch period carries no
+        extra information — inheritance already encodes shared history."""
+        if not scenarios:
+            return
+        keys = list(scen_positions.keys())
+
+        def base_val(key):
+            kind, r, c = key
+            if kind == KIND_RHS:
+                return float(core.b[r])
+            if kind == KIND_MATRIX:
+                return float(core.A[r, c])
+            return float(core.c[c])
+
+        base = {k: base_val(k) for k in keys}
+        resolved: dict = {}
+        probs, outs = [], []
+        for sc in scenarios:
+            parent = sc["parent"]
+            if parent.upper().strip("'\"") == "ROOT":
+                vec = dict(base)
+            elif parent in resolved:
+                vec = dict(resolved[parent])
+            else:
+                raise ValueError(
+                    f"scenario {sc['name']!r} branches from undefined "
+                    f"parent {parent!r} (parents must be declared first)")
+            vec.update(sc["over"])
+            resolved[sc["name"]] = vec
+            probs.append(sc["prob"])
+            outs.append([vec[k] for k in keys])
+        total = float(np.sum(probs))
+        if not np.isclose(total, 1.0, atol=1e-6):
+            raise ValueError(
+                f"scenario probabilities sum to {total}, expected 1.0")
+
+        elem_idx = []
+        for kind, r, c in keys:
+            elem_idx.append(_get_element(kind, r, c, DIST_BLOCK))
+        blk = Block("__SCENARIOS__", elem_idx,
+                    np.asarray(outs, dtype=float),
+                    np.asarray(probs, dtype=float))
+        for i in elem_idx:
+            elements[i].block_id = len(blocks)
+        blocks.append(blk)
+        scenarios.clear()
+        scen_positions.clear()
 
     def _flush_discrete():
         for idx, vals in disc_vals.items():
@@ -154,6 +217,7 @@ def read_stoc(path: str, core: CoreProblem) -> StocData:
             if raw[0] not in (" ", "\t"):
                 head = toks[0].upper()
                 _flush_block()
+                _flush_scenarios()
                 if head == "STOCH":
                     continue
                 if head == "ENDATA":
@@ -168,7 +232,13 @@ def read_stoc(path: str, core: CoreProblem) -> StocData:
                         raise NotImplementedError(f"BLOCKS {toks[1]} not supported")
                     section = ("BLOCKS", "DISCRETE")
                 elif head == "SCENARIOS":
-                    raise NotImplementedError("SCENARIOS sections not supported")
+                    # Optional qualifier: DISCRETE (default) / REPLACE mode.
+                    if len(toks) > 1 and toks[1].upper() not in (
+                            "DISCRETE", "REPLACE"):
+                        raise NotImplementedError(
+                            f"SCENARIOS {toks[1]} not supported (only "
+                            "DISCRETE/REPLACE values)")
+                    section = ("SCENARIOS", "DISCRETE")
                 else:
                     raise ValueError(f"unknown stoch-file section: {head}")
                 continue
@@ -230,7 +300,22 @@ def read_stoc(path: str, core: CoreProblem) -> StocData:
                                 o.append(0.0)
                     pos = cur_block["members"].index(idx)
                     cur_block["outcomes"][-1][pos] = val
+            elif section[0] == "SCENARIOS":
+                if toks[0].upper() == "SC":
+                    # 'SC name parent prob [branch_period]'.
+                    scenarios.append({"name": toks[1], "parent": toks[2],
+                                      "prob": float(toks[3]), "over": {}})
+                else:
+                    if not scenarios:
+                        raise ValueError(
+                            f"scenario data line before any SC line: {raw!r}")
+                    col_tok, row_tok, val = toks[0], toks[1], float(toks[2])
+                    kind, r, c = _locate(core, col_tok, row_tok)
+                    key = (kind, r, c)
+                    scen_positions.setdefault(key, len(scen_positions))
+                    scenarios[-1]["over"][key] = val
 
     _flush_block()
+    _flush_scenarios()
     _flush_discrete()
     return StocData(elements=elements, blocks=blocks)
