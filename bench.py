@@ -33,6 +33,11 @@ def _prog(msg, _t0=[None]):
     print(f"[bench +{time.perf_counter() - _t0[0]:7.1f}s] {msg}",
           file=sys.stderr, flush=True)
 
+from stochasticdecomposition_tpu.utils.compilecache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
 
@@ -145,6 +150,91 @@ def bench_sd_rate(solver, cfg, n_iter=40):
     return steps_per_s, steps_per_s * max(1, cfg.SAMPLE_INCREMENT), state
 
 
+def bench_utilization(solver, batch=256, rounds=4):
+    """Device FLOP/s for the batched simplex (VERDICT r2 item 2).
+
+    FLOPs are analytic, from the pivot-loop body (ops/simplex.py): per pivot
+    the dominant matmuls are the multiplier btran (2m^2), pricing over all
+    columns (2·m·nt), the entering-column ftran (2m^2), the Devex pivot row
+    (2·m·nt), and the product-form inverse update (~3m^2) — 4·m·nt + 7·m^2 —
+    plus one LU refactorization (~2m^3) every `chunk` pivots.  Every vmap
+    lane executes every chunk (finished lanes ride along masked), so the
+    count uses the max lane iteration, not the mean: this is DEVICE flops.
+    The useful fraction (mean/max pivots) is reported alongside.
+    """
+    from stochasticdecomposition_tpu.ops.simplex import solve_lp
+    from stochasticdecomposition_tpu.sampler import sample_omega
+
+    pa = solver.pa
+    m, n2 = pa.D.shape
+    nt = n2 + m
+    x = jnp.asarray(solver.mean_sol, pa.c1.dtype)
+    base_rhs = pa.b_bar - pa.C_bar @ x
+    nb = int(pa.rv_b_rows.shape[0])
+
+    def one(key):
+        w = sample_omega(solver.spec, key, batch,
+                         dtype=pa.c1.dtype) - pa.omega_mean
+        rhs = jnp.tile(base_rhs, (batch, 1))
+        if nb:
+            rhs = rhs.at[:, pa.rv_b_rows].add(w[:, :nb])
+        res = jax.vmap(lambda b: solve_lp(
+            pa.D, pa.sense2, pa.d_bar, pa.l2, pa.u2, b,
+            pivot_dtype=jnp.float32, lite=True))(rhs)
+        return res.iters, res.status
+
+    fn = jax.jit(one)
+    iters, status = fn(jax.random.PRNGKey(0))
+    jax.block_until_ready(iters)                      # warmup/compile
+    t0 = time.perf_counter()
+    for r in range(rounds):
+        iters, status = fn(jax.random.PRNGKey(r + 1))
+    jax.block_until_ready(iters)
+    wall = time.perf_counter() - t0
+
+    iters = np.asarray(iters)
+    chunk = max(8, min(64, m))                        # mirrors solve_lp
+    n_chunks = int(np.ceil(iters.max() / chunk))
+    flops_pivot = 4 * m * nt + 7 * m * m
+    flops_lane = n_chunks * (chunk * flops_pivot + 2 * m**3 + 4 * m * m)
+    gflops = batch * flops_lane * rounds / wall / 1e9
+    return {
+        "simplex_gflops": round(gflops, 1),
+        "simplex_pivots_mean": round(float(iters.mean()), 1),
+        "simplex_pivots_max": int(iters.max()),
+        "simplex_useful_frac": round(float(iters.mean()) / max(
+            n_chunks * chunk, 1), 3),
+        "simplex_lp_shape": [m, n2],
+    }
+
+
+def bench_argmax_bandwidth(S=2048, O=32768, reps=8):
+    """HBM read bandwidth of the Pallas triple-argmax DMA-stream kernel:
+    each pass reads the [S, O] f32 height table exactly once (the design
+    point of the kernel: one read for all three masked reductions)."""
+    from stochasticdecomposition_tpu.ops.pallas_argmax import (
+        _triple_argmax_f32, pallas_path_available,
+    )
+
+    if not pallas_path_available(S, O):
+        return {"argmax_stream_gbps": -1.0}
+    rng = np.random.default_rng(1)
+    H = jnp.asarray(rng.standard_normal((S, O)), jnp.float32)
+    m1 = jnp.asarray(rng.random(S) > 0.2)
+    m2 = m1 & jnp.asarray(rng.random(S) > 0.5)
+    m3 = m1 & ~m2
+    out = _triple_argmax_f32(H, m1, m2, m3)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = _triple_argmax_f32(H, m1, m2, m3)
+    jax.block_until_ready(out)
+    wall = time.perf_counter() - t0
+    gbps = S * O * 4 * reps / wall / 1e9
+    return {"argmax_stream_gbps": round(gbps, 1),
+            "argmax_table_mb": round(S * O * 4 / 2**20, 1)}
+
+
 def make_exact_objective(solver, outs, probs):
     """Jitted exact-objective closure (models/extensive.py)."""
     from stochasticdecomposition_tpu.models.extensive import exact_objective_fn
@@ -152,11 +242,44 @@ def make_exact_objective(solver, outs, probs):
     return exact_objective_fn(solver.pa, outs, probs)
 
 
+def _ef_cached(name, sp, outs, probs):
+    """Extensive-form optimum with a per-backend disk cache.
+
+    The EF optimum is deterministic instance data (not a measurement), so
+    recomputing it every bench run only starves later stages (VERDICT r2
+    weak #2).  The committed cache is keyed by instance and backend; the
+    parity gaps themselves are always measured live."""
+    import os
+
+    from stochasticdecomposition_tpu.models.extensive import (
+        solve_extensive_form,
+    )
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scripts", "ef_cache.json")
+    key = f"{name}:{jax.default_backend()}"
+    try:
+        with open(path) as f:
+            cache = json.load(f)
+    except Exception:
+        cache = {}
+    if key in cache:
+        return cache[key]
+    val, _ = solve_extensive_form(sp, outs, probs)
+    cache[key] = float(val)
+    try:
+        with open(path, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return float(val)
+
+
 def bench_parity():
     """pgp2like multi-rep + compromise exact parity at nominal tolerance."""
     from stochasticdecomposition_tpu.config import SDConfig
     from stochasticdecomposition_tpu.models.extensive import (
-        enumerate_scenarios, solve_extensive_form,
+        enumerate_scenarios,
     )
     from stochasticdecomposition_tpu.models.instances import load_instance
     from stochasticdecomposition_tpu.prob import decompose
@@ -165,7 +288,7 @@ def bench_parity():
     core, tim, stoc = load_instance("pgp2like")
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     outs, probs = enumerate_scenarios(stoc, sp.rv_order)
-    ef_obj, _ = solve_extensive_form(sp, outs, probs)
+    ef_obj = _ef_cached("pgp2like", sp, outs, probs)
     cfg = SDConfig(MAX_ITER=520, EVAL_FLAG=False, MULTIPLE_REP=3,
                    COMPROMISE_PROB=True)   # nominal EPSILON/SCAN_LEN
     solver = SDSolver(sp, cfg)
@@ -181,7 +304,7 @@ def bench_parity():
     core, tim, stoc = load_instance("lands")
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     outs_l, probs_l = enumerate_scenarios(stoc, sp.rv_order)
-    ef_l, _ = solve_extensive_form(sp, outs_l, probs_l)
+    ef_l = _ef_cached("lands", sp, outs_l, probs_l)
     sol_l = SDSolver(sp, SDConfig(MAX_ITER=520, EVAL_FLAG=False,
                                   MULTIPLE_REP=3, COMPROMISE_PROB=True))
     res_l = sol_l.run()
@@ -200,8 +323,14 @@ def bench_parity():
     }
 
 
-def bench_suite_sd(name, n_iter, sample_increment=1):
-    """Full SD loop at suite scale with pool/memory telemetry."""
+def bench_suite_sd(name, n_iter, sample_increment=1, tol=None,
+                   check_every=1):
+    """Full SD loop at suite scale with pool/memory telemetry.
+
+    With ``tol`` set the run goes to the STATISTICAL stop (a tolerance
+    preset is applied and MAX_ITER acts as the sample budget) — the
+    VERDICT-r2-item-1 evidence; without it the run is a fixed-iteration
+    throughput probe."""
     from stochasticdecomposition_tpu.config import SDConfig
     from stochasticdecomposition_tpu.models.suite import load_suite_instance
     from stochasticdecomposition_tpu.prob import decompose
@@ -210,7 +339,10 @@ def bench_suite_sd(name, n_iter, sample_increment=1):
     core, tim, stoc = load_suite_instance(name)
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     cfg = SDConfig(MAX_ITER=n_iter, EVAL_FLAG=False,
-                   SAMPLE_INCREMENT=sample_increment)
+                   SAMPLE_INCREMENT=sample_increment,
+                   CHECK_EVERY=check_every)
+    if tol:
+        cfg = cfg.apply_tolerance_preset(tol)
     t0 = time.perf_counter()
     solver = SDSolver(sp, cfg)
     t_setup = time.perf_counter() - t0
@@ -220,16 +352,22 @@ def bench_suite_sd(name, n_iter, sample_increment=1):
     # Steady-state rate on the already-compiled step (the wall number above
     # includes the one-time XLA compile).
     _, steady, _ = bench_sd_rate(solver, cfg, n_iter=6)
-    return {
+    out = {
         "iters": r.iterations,
         "samples_per_s": round(r.iterations / wall, 2),
-        "samples_per_s_steady": round(steady, 2),
+        "samples_per_s_steady": round(steady * max(1, check_every), 2),
         "wall_s": round(wall, 1),
         "setup_s": round(t_setup, 1),
         "pools": r.pool_sizes,
         "lb_estimate": round(r.incumb_est, 2),
         "pool_mem_mb": round(solver.pool_bytes["total"] / 2 ** 20, 1),
     }
+    if tol:
+        out["tolerance"] = tol
+        out["stopped_statistically"] = bool(r.optimal)
+        out["cuts_active"] = r.cuts_active
+        out["quad_scalar"] = round(r.quad_scalar, 6)
+    return out
 
 
 def main():
@@ -264,6 +402,11 @@ def main():
                 os._exit(rc)
             return
         emitted[0] = True
+        if rc is not None:                   # SIGTERM: reap the CPU leg
+            try:
+                cpu_proc.kill()
+            except Exception:
+                pass
         payload = {
             "metric": "batched_subproblem_lp_throughput_large",
             "value": extras.pop("_headline_value", -1.0),
@@ -296,20 +439,31 @@ def main():
             stage_s[name] = round(time.perf_counter() - t0, 1)
             _prog(f"{name} done ({stage_s[name]}s)")
 
-    # ---- 1. parity (exact, by scenario enumeration) — the core claim ----
-    box = {}
+    # ---- 0. CPU end-to-end leg as a concurrent subprocess ---------------
+    # The TPU-vs-CPU wall-clock comparison (VERDICT r2 item 2) needs the
+    # SAME SD code run on the CPU backend; that leg uses no device, so it
+    # runs alongside the TPU stages and is joined before emit.
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpu_proc = subprocess.Popen(
+        [sys.executable, os.path.join(here, "scripts", "wall_compare.py"),
+         "--cpu"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, cwd=here,
+        text=True)
 
-    def _parity():
-        par = bench_parity()
-        box["solver"] = par.pop("solver")
-        extras.update(par)
+    # ---- 1. storm scale TO THE STATISTICAL STOP (cannot be starved) -----
+    # Round 2 budget-skipped this stage; it now runs FIRST (VERDICT r2
+    # item 1).  Loose tolerance, SAMPLE_INCREMENT=8, CHECK_EVERY=4 — the
+    # production batched mode; sample budget 2048.
+    def _storm():
+        # Sample budget 1024 fits the stage in ~5 min at the measured
+        # ~31 samples/dispatch rate; scripts/suite_to_stop.py runs the
+        # uncapped version (4096) whose committed results live in
+        # RESULTS.md.
+        extras["sd_stormlike"] = bench_suite_sd(
+            "stormlike", 1024, sample_increment=8, tol="l", check_every=4)
 
-    stage("parity", _parity)
-    solver = box.get("solver")
-    if solver is None:                       # parity failed: rebuild pgp2like
-        core, tim, stoc = load_instance("pgp2like")
-        sp = attach_stoc(decompose(core, tim, stoc), stoc)
-        solver = SDSolver(sp, SDConfig(MAX_ITER=64, EVAL_FLAG=False))
+    stage("suite_stormlike_stop", _storm)
 
     # ---- 2. mid-scale synthetic (ssn-class): batched LP throughput ------
     # This is the headline metric (the axis the reference spends its time
@@ -337,8 +491,25 @@ def main():
         extras["large_cpu_scipy_lp_per_s"] = round(big_cpu_rate, 2)
         extras["large_f32_vs_cpu_obj_relerr"] = round(
             abs(big_mean_f32 - big_mean_cpu) / max(abs(big_mean_cpu), 1), 6)
+        # Device FLOP/s at the same LP shape (VERDICT r2 item 2).
+        extras.update(bench_utilization(solver2, batch=256, rounds=4))
 
     stage("big_lp_throughput", _big_lp, need_s=60)
+
+    # ---- 3. parity (exact, by scenario enumeration) — the core claim ----
+    box = {}
+
+    def _parity():
+        par = bench_parity()
+        box["solver"] = par.pop("solver")
+        extras.update(par)
+
+    stage("parity", _parity)
+    solver = box.get("solver")
+    if solver is None:                       # parity failed: rebuild pgp2like
+        core, tim, stoc = load_instance("pgp2like")
+        sp = attach_stoc(decompose(core, tim, stoc), stoc)
+        solver = SDSolver(sp, SDConfig(MAX_ITER=64, EVAL_FLAG=False))
 
     # ---- 3. small-LP throughput vs sequential HiGHS ----------------------
     def _small_lp():
@@ -397,24 +568,59 @@ def main():
 
         rng = np.random.default_rng(0)
         ok_all = True
-        for S, O in [(37, 256), (2251, 1664)]:
+        # (1544, 1152) is a regression shape: the whole-VMEM path's old
+        # working-set accounting OOMed scoped vmem there (3x temporaries).
+        for S, O in [(37, 256), (1544, 1152), (2251, 1664)]:
             H = jnp.asarray(rng.standard_normal((S, O)))
             m1 = jnp.asarray(rng.random(S) > 0.3)
             m2 = m1 & jnp.asarray(rng.random(S) > 0.5)
             ok_all &= bool(_check(H, m1, m2))
         extras["pallas_argmax_device_match"] = bool(ok_all)
+        # HBM bandwidth of the DMA-stream path (VERDICT r2 item 2).
+        extras.update(bench_argmax_bandwidth())
 
-    stage("pallas_check", _pallas_check, need_s=45)
+    stage("pallas_check", _pallas_check, need_s=60)
 
-    # ---- 6. suite scale: full SD end-to-end ------------------------------
-    for name, iters, si, need in [("ssnlike", 64, 8, 130),
-                                  ("20termlike", 64, 8, 130),
-                                  ("stormlike", 48, 8, 180)]:
-        if left() < need:
-            extras[f"sd_{name}"] = {"skipped": "bench time budget"}
-            continue
-        stage(f"suite_{name}", lambda n=name, it=iters, s=si: extras.update(
-            {f"sd_{n}": bench_suite_sd(n, it, sample_increment=s)}))
+    # ---- 7. suite scale: 20term to the stop, ssn throughput probe -------
+    def _20term():
+        extras["sd_20termlike"] = bench_suite_sd(
+            "20termlike", 2048, sample_increment=8, tol="l", check_every=4)
+
+    stage("suite_20termlike_stop", _20term, need_s=160)
+
+    def _ssn():
+        extras["sd_ssnlike"] = bench_suite_sd("ssnlike", 64,
+                                              sample_increment=8)
+
+    stage("suite_ssnlike", _ssn, need_s=120)
+
+    # ---- 8. end-to-end wall: TPU leg inline, CPU leg joined --------------
+    def _wall_tpu():
+        sys.path.insert(0, os.path.join(here, "scripts"))
+        from wall_compare import run_wall_suite
+        tpu = run_wall_suite(include_ssn=left() > 200)
+        extras["wall_tpu"] = tpu
+
+    stage("wall_tpu", _wall_tpu, need_s=120)
+
+    def _wall_join():
+        try:
+            out, _ = cpu_proc.communicate(timeout=max(10.0, left() - 15))
+            cpu = json.loads(out.strip().splitlines()[-1])
+        except Exception as e:
+            cpu_proc.kill()
+            extras["wall_cpu_error"] = str(e)[:200]
+            return
+        extras["wall_cpu"] = cpu
+        tpu = extras.get("wall_tpu")
+        if not tpu:
+            return
+        for tag in ("pgp2_b1", "pgp2_b64", "ssn_si8"):
+            tw, cw = tpu.get(f"{tag}_wall_warm_s"), cpu.get(f"{tag}_wall_warm_s")
+            if tw and cw and tw > 0:
+                extras[f"sd_wall_tpu_vs_cpu_{tag}"] = round(cw / tw, 2)
+
+    stage("wall_cpu_join", _wall_join)
 
     emit()
 

@@ -1,0 +1,95 @@
+"""End-to-end SD wall-clock on the CURRENT JAX backend (VERDICT r2 item 2).
+
+Runs the identical SD configuration to the statistical stop (pgp2like,
+nominal tolerance, batch 1 and batch 64) plus a fixed-sample-budget
+ssnlike run (SI=8), and prints one JSON line.  bench.py runs this once
+inline (TPU) and once as a ``JAX_PLATFORMS=cpu`` subprocess, and reports
+the honest wall-clock-to-stop ratio — the analog of BASELINE.md's
+">=10x over single-core SD" north star.  The reference's economics
+(one CPLEX LP per iteration, evaluate.c's sequential loop) are what the
+CPU leg reproduces with the same code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# The axon sitecustomize pins JAX_PLATFORMS to the TPU tunnel, so an env
+# var cannot force CPU; the config knob (set before backend init) can.
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+
+from stochasticdecomposition_tpu.utils.compilecache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def run_wall_suite(include_ssn: bool = True, ssn_samples: int = 256):
+    from stochasticdecomposition_tpu.config import SDConfig
+    from stochasticdecomposition_tpu.models.instances import load_instance
+    from stochasticdecomposition_tpu.prob import decompose
+    from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
+
+    out = {"backend": jax.default_backend(),
+           "device": str(jax.devices()[0])}
+
+    core, tim, stoc = load_instance("pgp2like")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+
+    def leg(tag, solver, build_s):
+        # First run pays the one-time XLA compile; the second reuses the
+        # compiled step, so its wall is the honest steady to-stop number
+        # (the reference amortizes nothing — CPLEX has no compile step —
+        # so BOTH are reported).
+        t0 = time.perf_counter()
+        r1 = solver.solve_replication(0)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r2 = solver.solve_replication(0)
+        warm = time.perf_counter() - t0
+        out[f"{tag}_build_s"] = round(build_s, 1)
+        out[f"{tag}_wall_cold_s"] = round(cold, 1)
+        out[f"{tag}_wall_warm_s"] = round(warm, 1)
+        out[f"{tag}_samples"] = r2.iterations
+        out[f"{tag}_stopped"] = bool(r2.optimal)
+
+    # batch 1, nominal tolerance, to the statistical stop — the
+    # reference-faithful mode (one new observation per iteration).
+    t0 = time.perf_counter()
+    s1 = SDSolver(sp, SDConfig(MAX_ITER=520, EVAL_FLAG=False))
+    leg("pgp2_b1", s1, time.perf_counter() - t0)
+
+    # batch 64: same sample budget consumed 64 per step.
+    t0 = time.perf_counter()
+    s64 = SDSolver(sp, SDConfig(MAX_ITER=2560, EVAL_FLAG=False,
+                                SAMPLE_INCREMENT=64, CHECK_EVERY=4))
+    leg("pgp2_b64", s64, time.perf_counter() - t0)
+
+    if include_ssn:
+        from stochasticdecomposition_tpu.models.suite import (
+            load_suite_instance,
+        )
+        core, tim, stoc = load_suite_instance("ssnlike")
+        spn = attach_stoc(decompose(core, tim, stoc), stoc)
+        t0 = time.perf_counter()
+        ss = SDSolver(spn, SDConfig(MAX_ITER=ssn_samples, EVAL_FLAG=False,
+                                    SAMPLE_INCREMENT=8, CHECK_EVERY=4))
+        leg("ssn_si8", ss, time.perf_counter() - t0)
+    return out
+
+
+if __name__ == "__main__":
+    include_ssn = "--no-ssn" not in sys.argv
+    print(json.dumps(run_wall_suite(include_ssn=include_ssn)), flush=True)

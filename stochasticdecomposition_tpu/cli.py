@@ -88,6 +88,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    from stochasticdecomposition_tpu.utils.compilecache import (
+        enable_persistent_cache,
+    )
+    enable_persistent_cache()
     jax.config.update("jax_enable_x64", True)
 
     if args.distributed:

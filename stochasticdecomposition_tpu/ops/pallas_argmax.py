@@ -38,7 +38,17 @@ _NEG32 = -3.0e38       # finite f32 sentinel for the kernel
 # VMEM budget (bytes) for choosing the path at trace time.  A [S, 1] int32
 # column pads to [S, 128] on chip (512 B/row), hence the three masks are
 # bit-packed into ONE column; the stream path double-buffers [S, CHUNK] f32.
-_VMEM_BUDGET = 10 * 2 ** 20
+#
+# Working-set accounting: Mosaic stack-allocates the _reduce3 temporaries —
+# the broadcasted iota ([S, O] int32) and one masked copy of the block
+# ([S, O] f32) are live together with the block itself, so the whole-VMEM
+# path costs ~3x the table (measured: a 7.1 MiB [1544, 1152] table hit the
+# 16 MiB scoped-vmem limit at 21.2 MiB).  The stream path holds the
+# double-buffered scratch (2 chunks) plus the same two temporaries per
+# chunk, ~4 chunk-buffers; use 5 for headroom.
+_VMEM_BUDGET = 12 * 2 ** 20
+_WHOLE_MULT = 3
+_STREAM_MULT = 5
 _MASK_ROW_BYTES = 512
 
 
@@ -132,9 +142,10 @@ def pallas_path_available(S: int, O: int) -> bool:
         return False
     S = ((S + 7) // 8) * 8          # sublane padding (see _triple_argmax_f32)
     mask_bytes = S * _MASK_ROW_BYTES
-    if S * O * 4 + mask_bytes <= _VMEM_BUDGET:
+    if _WHOLE_MULT * S * O * 4 + mask_bytes <= _VMEM_BUDGET:
         return True
-    return 2 * S * 128 * 4 + mask_bytes <= _VMEM_BUDGET  # min stream chunk
+    # minimum stream chunk (128 lanes)
+    return _STREAM_MULT * S * 128 * 4 + mask_bytes <= _VMEM_BUDGET
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -167,10 +178,10 @@ def _triple_argmax_f32(H32, base_mask, old_mask, new_mask, *,
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     mask_bytes = S * _MASK_ROW_BYTES
-    if S * O * 4 + mask_bytes <= _VMEM_BUDGET:
+    if _WHOLE_MULT * S * O * 4 + mask_bytes <= _VMEM_BUDGET:
         kernel, h_spec = _whole_kernel, vspec
     else:
-        budget = (_VMEM_BUDGET - mask_bytes) // (2 * S * 4)
+        budget = (_VMEM_BUDGET - mask_bytes) // (_STREAM_MULT * S * 4)
         CHUNK = 128
         while CHUNK * 2 <= budget and O % (CHUNK * 2) == 0:
             CHUNK *= 2

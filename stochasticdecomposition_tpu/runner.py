@@ -9,6 +9,7 @@ setup.c:195-268 — which here is just constructing a fresh state pytree).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import List, Optional
 
@@ -85,10 +86,14 @@ def mean_value_solution(sp: StagedProblem, dtype=jnp.float64) -> np.ndarray:
     c = np.concatenate([f.c, s.d_bar])
     lo = np.concatenate([f.lb, s.lb])
     hi = np.concatenate([f.ub, s.ub])
-    out = solve_lp(jnp.asarray(A, dtype), jnp.asarray(sense, jnp.int32),
-                   jnp.asarray(c, dtype), jnp.asarray(lo, dtype),
-                   jnp.asarray(hi, dtype), jnp.asarray(b, dtype),
-                   max_iter=12 * (A.shape[0] + A.shape[1]) + 256)
+    # One jitted program (instead of eager per-op dispatch, which pays a
+    # compile+RPC per op through the remote tunnel) — and a single
+    # persistent-cache entry, so repeat processes skip the compile.
+    solve = jax.jit(functools.partial(
+        solve_lp, max_iter=12 * (A.shape[0] + A.shape[1]) + 256))
+    out = solve(jnp.asarray(A, dtype), jnp.asarray(sense, jnp.int32),
+                jnp.asarray(c, dtype), jnp.asarray(lo, dtype),
+                jnp.asarray(hi, dtype), jnp.asarray(b, dtype))
     if int(out.status) != STATUS_OPTIMAL:
         raise RuntimeError(
             f"mean-value problem not optimal (status {int(out.status)})")

@@ -1,0 +1,40 @@
+"""Persistent XLA compilation cache.
+
+Storm-scale fused-step programs take tens of seconds to compile through the
+remote-compile TPU tunnel, and every process (bench stages, CLI runs,
+sweeps) pays it again: JAX's in-memory cache dies with the process.  The
+persistent cache serializes compiled executables to disk keyed by HLO +
+compile options, so the second process loads in milliseconds (verified on
+the axon backend).  Opt-out with SD_TPU_NO_COMPILE_CACHE=1.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "sd_tpu_jax")
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
+    """Enable JAX's on-disk compilation cache; returns the dir (or None)."""
+    if os.environ.get("SD_TPU_NO_COMPILE_CACHE"):
+        return None
+    import jax
+
+    path = cache_dir or os.environ.get("SD_TPU_COMPILE_CACHE", _DEFAULT_DIR)
+    # Separate cache trees per platform selection: XLA:CPU AOT artifacts
+    # record host-machine features and loading one produced under a
+    # different platform/feature configuration warns about possible SIGILL.
+    try:
+        plats = jax.config.jax_platforms or "default"
+    except Exception:
+        plats = "default"
+    path = os.path.join(path, plats.replace(",", "_"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Only persist compiles that cost real time; trivia stays in memory.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        return None
+    return path

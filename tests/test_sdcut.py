@@ -118,7 +118,8 @@ def test_pallas_triple_argmax_interpret_matches_xla():
     import jax.numpy as jnp
 
     from stochasticdecomposition_tpu.ops.pallas_argmax import (
-        _VMEM_BUDGET, triple_masked_argmax, triple_masked_argmax_xla,
+        _MASK_ROW_BYTES, _VMEM_BUDGET, _WHOLE_MULT, triple_masked_argmax,
+        triple_masked_argmax_xla,
     )
 
     rng = np.random.default_rng(3)
@@ -127,7 +128,8 @@ def test_pallas_triple_argmax_interpret_matches_xla():
         bm = jnp.asarray(rng.random(S) < 0.8)
         om = bm & jnp.asarray(rng.random(S) < 0.5)
         nm = bm & ~om
-        path = "whole" if S * O * 4 + S * 512 <= _VMEM_BUDGET else "stream"
+        path = ("whole" if _WHOLE_MULT * S * O * 4
+                + S * _MASK_ROW_BYTES <= _VMEM_BUDGET else "stream")
         got = triple_masked_argmax(H, bm, om, nm, interpret=True)
         want = triple_masked_argmax_xla(H, bm, om, nm)
         for g, w in zip(got, want):
@@ -138,3 +140,30 @@ def test_pallas_triple_argmax_interpret_matches_xla():
         want = triple_masked_argmax_xla(H, bm, em, em)
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+
+
+def test_pallas_path_working_set_accounting():
+    """Path selection must budget the kernel's VMEM working set (input block
+    PLUS the Mosaic-materialized iota and masked-copy temporaries), not just
+    the input block.  Regression: a [1544, 1152] f32 table chose the
+    whole-VMEM path under input-only accounting and hit the 16 MiB
+    scoped-vmem limit at 21.2 MiB on device (3 x 7.1 MiB live)."""
+    from stochasticdecomposition_tpu.ops.pallas_argmax import (
+        _MASK_ROW_BYTES, _STREAM_MULT, _VMEM_BUDGET, _WHOLE_MULT,
+        pallas_path_available,
+    )
+
+    S, O = 1544, 1152
+    # The regression shape must still have a kernel path (stream), but the
+    # whole-VMEM working set must now be over budget.
+    assert pallas_path_available(S, O)
+    assert _WHOLE_MULT * S * O * 4 + S * _MASK_ROW_BYTES > _VMEM_BUDGET
+    # A pool too tall for even a 128-lane stream chunk has no kernel path.
+    S_huge = (_VMEM_BUDGET // (_STREAM_MULT * 128 * 4)) + 64
+    assert not pallas_path_available(S_huge, 1280)
+    # Non-lane-aligned observation axis has no kernel path.
+    assert not pallas_path_available(100, 130)
+    # The stream working set at the chosen minimum chunk stays in budget.
+    S8 = ((S + 7) // 8) * 8
+    assert _STREAM_MULT * S8 * 128 * 4 + S8 * _MASK_ROW_BYTES \
+        <= _VMEM_BUDGET
