@@ -16,8 +16,14 @@ Extras:
     extensive-form optimum at nominal tolerance (BASELINE.md 0.001 target);
   * end-to-end SD wall-clock in sequential (batch=1) and batched
     (SAMPLE_INCREMENT) modes — the claimed TPU-economics win;
-  * suite-scale full SD runs (ssnlike 175x706/86RV, stormlike 528x1259/118RV)
-    with pool telemetry and the static-pool memory audit.
+  * suite-scale SD to the STATISTICAL STOP (stormlike 528x1259/118RV runs
+    first so it can never be budget-starved; 20termlike 124x764/40RV) with
+    pool telemetry and the static-pool memory audit;
+  * utilization proxies: analytic simplex GFLOP/s, Pallas argmax GB/s;
+  * end-to-end TPU-vs-CPU wall-clock to the stop: the identical SD code
+    runs on the CPU backend in a concurrent subprocess
+    (scripts/wall_compare.py --cpu) and the warm-wall ratios are reported
+    as sd_wall_tpu_vs_cpu_*.
 """
 
 import json
@@ -216,7 +222,7 @@ def bench_argmax_bandwidth(S=2048, O=32768, reps=8):
         _triple_argmax_f32, pallas_path_available,
     )
 
-    if not pallas_path_available(S, O):
+    if jax.default_backend() != "tpu" or not pallas_path_available(S, O):
         return {"argmax_stream_gbps": -1.0}
     rng = np.random.default_rng(1)
     H = jnp.asarray(rng.standard_normal((S, O)), jnp.float32)
@@ -454,7 +460,7 @@ def main():
     # ---- 1. storm scale TO THE STATISTICAL STOP (cannot be starved) -----
     # Round 2 budget-skipped this stage; it now runs FIRST (VERDICT r2
     # item 1).  Loose tolerance, SAMPLE_INCREMENT=8, CHECK_EVERY=4 — the
-    # production batched mode; sample budget 2048.
+    # production batched mode.
     def _storm():
         # Sample budget 1024 fits the stage in ~5 min at the measured
         # ~31 samples/dispatch rate; scripts/suite_to_stop.py runs the

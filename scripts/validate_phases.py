@@ -41,13 +41,25 @@ enable_persistent_cache()
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
 
-import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402,F401
 
 N_DISPATCH = 8
 
 
 def device_times_from_trace(trace_dir):
-    """Sum device-plane event durations per jit program name."""
+    """Per-program compute busy-seconds from a jax.profiler trace.
+
+    The host plane's ``python`` line carries ``PjitFunction(<name>)``
+    events marking when each program was dispatched.  main() dispatches
+    the programs in disjoint sequential blocks with a barrier between
+    them, so each program owns the wall window [its first dispatch start,
+    next program's first dispatch start); every compute-thunk event (the
+    non-``python`` lines, ThreadpoolListener bookkeeping excluded) inside
+    that window is attributed to it.  Sums are thread-busy seconds (XLA:CPU
+    runs thunks on a pool), so compare them as FRACTIONS.  The tunneled
+    TPU backend emits no compute planes at all — callers fall back to
+    host-clock-only there."""
     from jax.profiler import ProfileData
 
     # Find the serialized xspace file the trace context wrote.
@@ -59,21 +71,35 @@ def device_times_from_trace(trace_dir):
     if path is None:
         raise RuntimeError(f"no .xplane.pb under {trace_dir}")
     data = ProfileData.from_file(path)
-    totals = {}
+
+    starts = {}                       # program -> first dispatch start_ns
+    compute = []                      # (start_ns, end_ns) of compute events
     for plane in data.planes:
-        name = plane.name or ""
-        if "TPU" not in name and "device" not in name.lower():
-            continue
         for line in plane.lines:
-            for ev in line.events:
-                # Top-level events are the executed programs: jit(step),
-                # jit(master_step), ...  Nested HLO-op lines repeat the
-                # time, so only take events that look like program names.
-                en = ev.name
-                if en.startswith("jit(") or en.startswith("pjit"):
-                    dur = ev.duration_ns if hasattr(ev, "duration_ns") else 0
-                    totals[en] = totals.get(en, 0) + dur
-    return {k: v / 1e9 for k, v in totals.items()}
+            if line.name == "python":
+                for ev in line.events:
+                    n = ev.name
+                    if n.startswith("PjitFunction("):
+                        prog = n[len("PjitFunction("):-1]
+                        s = starts.get(prog)
+                        if s is None or ev.start_ns < s:
+                            starts[prog] = ev.start_ns
+            else:
+                for ev in line.events:
+                    if ev.name.startswith("ThreadpoolListener"):
+                        continue
+                    compute.append((ev.start_ns, ev.end_ns))
+    if not starts or not compute:
+        return {}
+    order = sorted(starts, key=starts.get)
+    bounds = [starts[p] for p in order] + [float("inf")]
+    totals = {}
+    for i, prog in enumerate(order):
+        lo, hi = bounds[i], bounds[i + 1]
+        busy = sum(min(e, hi) - max(s, lo)
+                   for s, e in compute if e > lo and s < hi)
+        totals[prog] = busy / 1e9
+    return totals
 
 
 def main():
@@ -116,12 +142,21 @@ def main():
     key = jax.random.PRNGKey(7)
 
     sub = solver.substeps
+    # solver.step donates its argument, so it must never consume the shared
+    # `state` the other substeps keep reading: give the fused step its own
+    # state chain (also the realistic usage — state evolves through it).
+    box = {"s": jax.tree_util.tree_map(jnp.copy, state)}
+
+    def _fused():
+        box["s"] = solver.step(box["s"])
+        return box["s"]
+
     fns = {
         "master": lambda: sub["master_step"](state),
         "subprob": lambda: sub["subprob_update"](state),
         "argmax": lambda: sub["cut_step"](state),
         "opttest": lambda: solver.full_test(state, key),
-        "fused_step": lambda: solver.step(state),
+        "fused_step": _fused,
     }
     # Compile everything outside the trace.
     for f in fns.values():
@@ -136,21 +171,36 @@ def main():
         jax.block_until_ready(out)
         host[name] = (time.monotonic() - t0) / N_DISPATCH
 
-    # Device trace around the same dispatches.
-    tdir = tempfile.mkdtemp(prefix="sd_phase_trace_")
-    with jax.profiler.trace(tdir):
-        for name, f in fns.items():
-            for _ in range(N_DISPATCH):
-                out = f()
-            jax.block_until_ready(out)
-    dev_raw = device_times_from_trace(tdir)
+    # Device trace around the same dispatches.  The axon remote-tunnel TPU
+    # backend rejects dispatches under an active profiler trace
+    # (InvalidArgument), so tracing is best-effort: on that backend the
+    # validation runs host-clock-only here and the trace-based method
+    # check runs on the CPU backend (--cpu), whose XLA:CPU planes parse
+    # fine with jax.profiler.ProfileData.
+    trace_error = None
+    dev_raw = {}
+    try:
+        tdir = tempfile.mkdtemp(prefix="sd_phase_trace_")
+        with jax.profiler.trace(tdir):
+            for name, f in fns.items():
+                for _ in range(N_DISPATCH):
+                    out = f()
+                jax.block_until_ready(out)
+        dev_raw = device_times_from_trace(tdir)
+    except Exception as e:  # noqa: BLE001 — report, don't die
+        trace_error = str(e)[:160]
     # Map program names back to phases.
     name_map = {"master": "master_step", "subprob": "subprob_update",
                 "argmax": "cut_step", "opttest": "full_test",
                 "fused_step": "step"}
     dev = {}
     for phase, prog in name_map.items():
-        hits = [v for k, v in dev_raw.items() if prog in k]
+        # Exact program-name match first ("step" is a substring of
+        # "master_step"/"cut_step"); substring only as a fallback.
+        if prog in dev_raw:
+            hits = [dev_raw[prog]]
+        else:
+            hits = [v for k, v in dev_raw.items() if prog in k]
         dev[phase] = sum(hits) / N_DISPATCH if hits else -1.0
 
     phases = ["master", "subprob", "argmax", "opttest"]
@@ -161,7 +211,7 @@ def main():
         "instance": args.instance,
         "k_at_measurement": int(state.k),
         "host_ms": {p: round(host[p] * 1e3, 2) for p in fns},
-        "device_ms": {p: round(dev[p] * 1e3, 3) for p in dev},
+        "device_ms": {p: round(dev[p] * 1e3, 3) for p in dev if dev[p] > 0},
         "host_frac": {p: round(host[p] / host_tot, 3) for p in phases},
         "device_frac": {p: round(dev[p] / dev_tot, 3) for p in phases
                         if dev[p] > 0},
@@ -172,6 +222,8 @@ def main():
             host_tot / host["fused_step"], 2),
         "trace_programs_found": sorted(dev_raw),
     }
+    if trace_error:
+        out["device_trace_error"] = trace_error
     print(json.dumps(out), flush=True)
 
 

@@ -311,40 +311,46 @@ def stochastic_updates_batch(pa: ProblemArrays, state: SDState, res_b,
     state = state._replace(lambda_vals=lambda_vals, lambda_cnt=lam_cnt1)
 
     # ---- delta fills, batched --------------------------------------------
-    # New-lambda rows over ALL omegas (calcDelta Case II), one matmul; then
-    # new-omega columns over ALL lambdas (Case I), one matmul.  Scatter rows
-    # via a [B]->[L] one-hot so duplicate/non-new lanes drop out.
+    # New-lambda rows over ALL omegas (calcDelta Case II) and new-omega
+    # columns over ALL lambdas (Case I), each computed at [B] width only
+    # and scattered through one-past-end dump slots (non-new lanes write to
+    # the dump row/column, which the final slice drops, so tolerance-level
+    # differences of a duplicate never overwrite the FIRST-stored values —
+    # matching the sequential dedup semantics bit-for-bit).
+    #
+    # An earlier version recomputed the ENTIRE [L, O] table as one matmul
+    # per step and masked one column in; at storm scale (L=6145, O=4224,
+    # nb=118) that is a multi-GFLOP emulated-f64 matmul per iteration and
+    # made the fused step ~19x slower than the sum of its real work.
+    Ocap = state.delta_pib.shape[1]
+    lrows = jnp.where(new_lam, lidx, L)                  # [B] dump row = L
+    ocols = jnp.where(new_o, o_idxs, Ocap)               # [B] dump col = O
     if nb:
-        row_sel = (jnp.arange(L)[None, :] == lidx[:, None]) & \
-            new_lam[:, None]                                     # [B, L]
         rows_pib = (state.omega_vals[:, :nb] @ (pa.bmap.T @ lam_b.T)).T
-        delta_pib = jnp.where(jnp.any(row_sel, axis=0)[:, None],
-                              row_sel.T.astype(dtype) @ rows_pib,
-                              state.delta_pib)
-        cols_pib = lambda_vals @ (pa.bmap @ state.omega_vals[:, :nb].T)
-        col_sel = (jnp.arange(state.delta_pib.shape[1])[None, :] ==
-                   o_idxs[:, None]) & new_o[:, None]             # [B, O]
-        new_col = jnp.any(col_sel, axis=0)                       # [O]
-        delta_pib = jnp.where(new_col[None, :], cols_pib, delta_pib)
+        cols_pib = lambda_vals @ (pa.bmap @
+                                  state.omega_vals[o_idxs, :nb].T)  # [L, B]
+        dp = jnp.zeros((L + 1, Ocap + 1), dtype) \
+            .at[:L, :Ocap].set(state.delta_pib)
+        dp = dp.at[lrows, :Ocap].set(rows_pib)           # Case II rows
+        dp = dp[:L].at[:, ocols].set(cols_pib)           # Case I cols
+        delta_pib = dp[:, :Ocap]
     else:
         delta_pib = state.delta_pib
-        new_col = jnp.zeros(state.delta_pib.shape[1], bool)
     if nC:
         lamC_b = lam_b[:, pa.lam_pos_C]                          # [B, nC]
         rows_piC = jnp.einsum(
             "oc,bc,cr->bor", state.omega_vals[:, nb:nb + nC], lamC_b,
             pa.Cgroup)                                           # [B, O, nCr]
-        row_sel = (jnp.arange(L)[None, :] == lidx[:, None]) & \
-            new_lam[:, None]
-        delta_piC = jnp.where(
-            jnp.any(row_sel, axis=0)[:, None, None],
-            jnp.einsum("bl,bor->lor", row_sel.astype(dtype), rows_piC),
-            state.delta_piC)
         lamC_all = lambda_vals[:, pa.lam_pos_C]                  # [L, nC]
         cols_piC = jnp.einsum(
-            "oc,lc,cr->lor", state.omega_vals[:, nb:nb + nC], lamC_all,
-            pa.Cgroup)
-        delta_piC = jnp.where(new_col[None, :, None], cols_piC, delta_piC)
+            "bc,lc,cr->lbr", state.omega_vals[o_idxs, nb:nb + nC],
+            lamC_all, pa.Cgroup)                                 # [L, B, nCr]
+        nCr = state.delta_piC.shape[2]
+        dc = jnp.zeros((L + 1, Ocap + 1, nCr), dtype) \
+            .at[:L, :Ocap].set(state.delta_piC)
+        dc = dc.at[lrows, :Ocap].set(rows_piC)
+        dc = dc[:L].at[:, ocols].set(cols_piC)
+        delta_piC = dc[:, :Ocap]
     else:
         delta_piC = state.delta_piC
     state = state._replace(delta_pib=delta_pib, delta_piC=delta_piC)

@@ -22,13 +22,17 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     import jax
 
     path = cache_dir or os.environ.get("SD_TPU_COMPILE_CACHE", _DEFAULT_DIR)
-    # Separate cache trees per platform selection: XLA:CPU AOT artifacts
-    # record host-machine features and loading one produced under a
-    # different platform/feature configuration warns about possible SIGILL.
+    # Only cache for the TPU path.  XLA:CPU AOT artifacts record a machine
+    # feature set that the loader rejects even on the producing machine
+    # ("could lead to execution errors such as SIGILL"), so CPU-forced
+    # runs (tests, wall-compare legs) skip the persistent cache — their
+    # compiles are cheap anyway.
     try:
         plats = jax.config.jax_platforms or "default"
     except Exception:
         plats = "default"
+    if "cpu" in plats:
+        return None
     path = os.path.join(path, plats.replace(",", "_"))
     try:
         os.makedirs(path, exist_ok=True)
