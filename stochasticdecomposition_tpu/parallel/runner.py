@@ -145,6 +145,7 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
         t_setup = time.monotonic() - t0
 
         done = np.array([i >= len(reps) for i in range(W)])  # padding = done
+        master_fails: dict = {}       # consecutive uncertified-master count
         optimal = np.zeros(W, bool)
         pools = {i: ([], []) for i in range(W)}  # host feasibility cut pools
         # LP masters stop on MAX_ITER only (optimal.c:104-108; see runner.py).
@@ -208,16 +209,24 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
                         f"at k={int(ks[i]) + 1}")
                 if not bool(master_ok[i]):
                     # Transient non-convergence: retry as a standalone
-                    # dispatch before erroring (see runner.solve_replication
-                    # — uncertified masters never corrupt cut validity).
+                    # dispatch; tolerate isolated retry failures and raise
+                    # only when persistent (see runner.solve_replication —
+                    # uncertified masters never corrupt cut validity).
                     log("M")
                     st_i = _extract_rep(stacked, i)
                     st_i = solver.substeps["master_step"](
                         st_i._replace(master_ok=jnp.bool_(True)))
                     if not bool(st_i.master_ok):
-                        raise RuntimeError(
-                            f"master QP failed in replication {reps[i]} at "
-                            f"k={int(ks[i]) + 1} (retry included)")
+                        log("!")
+                        master_fails[i] = master_fails.get(i, 0) + 1
+                        if master_fails[i] >= 5:
+                            raise RuntimeError(
+                                f"master QP failed in replication {reps[i]} "
+                                f"at k={int(ks[i]) + 1} (5 consecutive "
+                                "iterations, retries included)")
+                        st_i = st_i._replace(master_ok=jnp.bool_(True))
+                    else:
+                        master_fails[i] = 0
                     stacked = _scatter_rep(stacked, i, st_i)
                     scattered = True
             if scattered:

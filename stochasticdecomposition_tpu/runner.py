@@ -189,6 +189,7 @@ class SDSolver:
 
         optimal = False
         n_full_tests = 0
+        master_fails = 0
         # One packed device->host transfer per iteration (see _snapshot).
         snap = np.asarray(self._snapshot(state))
         while int(snap[0]) < cfg.MAX_ITER:
@@ -232,17 +233,32 @@ class SDSolver:
                 # uncertified master never corrupts the algorithm — cuts are
                 # valid minorants at ANY candidate and estimates come from
                 # max_cut_height, not the QP objective — so re-solve once
-                # via the master_step substep and only raise if the retry
-                # fails too (the reference errors only on a true CPLEX
-                # failure, master.c:42-46).
+                # via the master_step substep; if even the retry is
+                # uncertified, CONTINUE with the best iterate (still a
+                # feasible-by-construction d-space point) and only raise
+                # when certification fails persistently — observed at
+                # storm scale as an intermittent single-iteration event,
+                # where a hard raise killed a 25-minute run at k=256.
+                # The reference errors only on a true CPLEX failure
+                # (master.c:42-46); persistent = 5 consecutive iterations.
                 log("M")
                 state = self.substeps["master_step"](
                     state._replace(master_ok=jnp.bool_(True)))
                 snap = np.asarray(self._snapshot(state))
                 if snap[6] == 0.0:
-                    raise RuntimeError(
-                        f"master QP failed to converge at k={int(snap[0])} "
-                        "(retry included)")
+                    master_fails += 1
+                    log("!")
+                    if master_fails >= 5:
+                        raise RuntimeError(
+                            f"master QP failed to converge at "
+                            f"k={int(snap[0])} (5 consecutive iterations, "
+                            "retries included)")
+                    state = state._replace(master_ok=jnp.bool_(True))
+                    snap = np.asarray(self._snapshot(state))
+                else:
+                    master_fails = 0
+            else:
+                master_fails = 0
             if k % 100 == 0:
                 log(f"\nIteration-{k:4d}: ")
 
