@@ -462,10 +462,11 @@ def main():
     # item 1).  Loose tolerance, SAMPLE_INCREMENT=8, CHECK_EVERY=4 — the
     # production batched mode.
     def _storm():
-        # Sample budget 1024 fits the stage in ~5 min at the measured
-        # ~31 samples/dispatch rate; scripts/suite_to_stop.py runs the
-        # uncapped version (4096) whose committed results live in
-        # RESULTS.md.
+        # Identical config to `scripts/suite_to_stop.py stormlike --tol l
+        # --max-iter 1024` so both share one persistent-cache entry.  The
+        # statistical stop fires at ~160 samples, so 1024 is a cap, not a
+        # target — and the smaller MAX_ITER-derived pool capacities both
+        # compile and run faster than 4096 (steady 8.8 vs 6.4 samples/s).
         extras["sd_stormlike"] = bench_suite_sd(
             "stormlike", 1024, sample_increment=8, tol="l", check_every=4)
 
@@ -517,7 +518,17 @@ def main():
         sp = attach_stoc(decompose(core, tim, stoc), stoc)
         solver = SDSolver(sp, SDConfig(MAX_ITER=64, EVAL_FLAG=False))
 
-    # ---- 3. small-LP throughput vs sequential HiGHS ----------------------
+    # ---- 4. end-to-end wall: TPU leg (the BASELINE.md north-star rows;
+    # runs before the cheap stages so the budget cannot starve it) --------
+    def _wall_tpu():
+        sys.path.insert(0, os.path.join(here, "scripts"))
+        from wall_compare import run_wall_suite
+        tpu = run_wall_suite(include_ssn=left() > 150)
+        extras["wall_tpu"] = tpu
+
+    stage("wall_tpu", _wall_tpu, need_s=120)
+
+    # ---- 5. small-LP throughput vs sequential HiGHS ----------------------
     def _small_lp():
         batch = 512
         tpu_rate, _ = bench_eval_throughput(solver, batch)
@@ -589,8 +600,10 @@ def main():
 
     # ---- 7. suite scale: 20term to the stop, ssn throughput probe -------
     def _20term():
+        # Same config as `scripts/suite_to_stop.py 20termlike --tol l
+        # --max-iter 1024` (shared cache entry; stops at ~160 samples).
         extras["sd_20termlike"] = bench_suite_sd(
-            "20termlike", 2048, sample_increment=8, tol="l", check_every=4)
+            "20termlike", 1024, sample_increment=8, tol="l", check_every=4)
 
     stage("suite_20termlike_stop", _20term, need_s=160)
 
@@ -600,15 +613,7 @@ def main():
 
     stage("suite_ssnlike", _ssn, need_s=120)
 
-    # ---- 8. end-to-end wall: TPU leg inline, CPU leg joined --------------
-    def _wall_tpu():
-        sys.path.insert(0, os.path.join(here, "scripts"))
-        from wall_compare import run_wall_suite
-        tpu = run_wall_suite(include_ssn=left() > 200)
-        extras["wall_tpu"] = tpu
-
-    stage("wall_tpu", _wall_tpu, need_s=120)
-
+    # ---- 8. join the CPU leg and form the wall ratios -------------------
     def _wall_join():
         try:
             out, _ = cpu_proc.communicate(timeout=max(10.0, left() - 15))
