@@ -110,6 +110,13 @@ class SDConfig:
     # Run the evaluator's simplex pivot loop in float32 (MXU path on TPU)
     # with float64 final-basis cleanup; statistical accuracy is unaffected.
     EVAL_F32_PIVOT: bool = False
+    # Run the SD loop's SUBPROBLEM pivot loops in float32 as well (duals,
+    # basis, and reduced costs still come from a float64 refactorization of
+    # the chosen basis; solve_lp clamps the pivot tolerance to 1e-5).  A
+    # rare tolerance-level suboptimal basis yields a slightly looser — but
+    # still valid within dual-feasibility tolerance — cut, the same
+    # tolerance semantics as CPLEX's 1e-6 defaults.  Off by default.
+    SUBPROB_F32_PIVOT: bool = False
     # dtype for solver-critical state ("float64" strongly recommended).
     DTYPE: str = "float64"
     # Explicit lower bound on E[h(x, omega)] overriding the derived one

@@ -45,9 +45,12 @@ def make_substeps(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig):
     batch_ = max(1, int(cfg.SAMPLE_INCREMENT))
     scan_ = max(cfg.SCAN_LEN // batch_, 16) if batch_ > 1 else cfg.SCAN_LEN
 
+    sub_pd = jnp.float32 if cfg.SUBPROB_F32_PIVOT else None
+
     def subprob_update(state: SDState) -> SDState:
         res, state = warm_solve_subproblem(
-            pa, state, state.candid_x, state.omega_vals[state.last_o_idx])
+            pa, state, state.candid_x, state.omega_vals[state.last_o_idx],
+            pivot_dtype=sub_pd)
         sp_feas = res.status == STATUS_OPTIMAL
         state = state._replace(lp_cnt=state.lp_cnt + 1, sp_feas=sp_feas)
         state, _ = stochastic_updates(pa, state, res, state.last_o_idx,
@@ -99,6 +102,7 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
     """Build the jitted SD iteration for a staged problem."""
     tol = cfg.TOLERANCE
     dtype = pa.c1.dtype
+    sub_pd = jnp.float32 if cfg.SUBPROB_F32_PIVOT else None
     lp_master = cfg.MASTER_TYPE == MASTER_LP
     master_solve = build_and_solve_master_lp if lp_master \
         else build_and_solve_master
@@ -107,7 +111,8 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
         """formSDCut (cuts.c:22-89): solve subproblem, run stochastic
         updates, build the SD cut via argmax, add it to pool."""
         w = state.omega_vals[o_idx]
-        res, state = warm_solve_subproblem(pa, state, x, w)
+        res, state = warm_solve_subproblem(pa, state, x, w,
+                                           pivot_dtype=sub_pd)
         sp_feas = res.status == STATUS_OPTIMAL
         state = state._replace(lp_cnt=state.lp_cnt + 1,
                                sp_feas=state.sp_feas & sp_feas)
@@ -218,7 +223,7 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
             ws = state.omega_vals[o_idxs]
             res_b = jax.vmap(lambda wi: solve_subproblem(
                 pa, state.candid_x, wi, init_basis=state.warm_basis,
-                init_at_upper=state.warm_atup))(ws)
+                init_at_upper=state.warm_atup, pivot_dtype=sub_pd))(ws)
             all_feas = jnp.all(res_b.status == STATUS_OPTIMAL)
             # Refresh the warm basis from the last optimal lane.
             from stochasticdecomposition_tpu.ops.simplex import AT_UPPER

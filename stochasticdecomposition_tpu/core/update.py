@@ -40,21 +40,22 @@ def subproblem_rhs_cost(pa: ProblemArrays, x, w):
 
 
 def solve_subproblem(pa: ProblemArrays, x, w, *, max_iter: int = 0,
-                     init_basis=None, init_at_upper=None):
+                     init_basis=None, init_at_upper=None, pivot_dtype=None):
     """One subproblem LP solve (subprob.c:17-84 without the updates)."""
     rhs, cost = subproblem_rhs_cost(pa, x, w)
     return solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs,
                     max_iter=max_iter, init_basis=init_basis,
-                    init_at_upper=init_at_upper)
+                    init_at_upper=init_at_upper, pivot_dtype=pivot_dtype)
 
 
-def warm_solve_subproblem(pa: ProblemArrays, state, x, w):
+def warm_solve_subproblem(pa: ProblemArrays, state, x, w, pivot_dtype=None):
     """Subproblem solve warm-started from the previous optimal basis carried
     in the state; returns (res, state) with the warm basis refreshed.  The
     reference's CPLEX problem object keeps its basis between solves for the
     same effect (subprob.c:43-45 runs primal simplex on the warm object)."""
     res = solve_subproblem(pa, x, w, init_basis=state.warm_basis,
-                           init_at_upper=state.warm_atup)
+                           init_at_upper=state.warm_atup,
+                           pivot_dtype=pivot_dtype)
     ok = res.status == STATUS_OPTIMAL
     atup = jnp.concatenate([res.cstat, res.rstat]) == AT_UPPER
     state = state._replace(
