@@ -137,19 +137,20 @@ class SDConfig:
     MEMORY_BUDGET_GB: float = 12.0
 
     def __post_init__(self):
-        # Mixed-integer masters (config.sd:10-11, twoSD.h:33) are not
-        # implemented in this framework; fail loudly rather than silently
-        # running a continuous relaxation in their place.
+        # Mixed-integer masters (config.sd:10-11, twoSD.h:33; the reference
+        # passes the type to CPLEX at master.c:41) run the branch-and-bound
+        # wrapper (core/bnb.py) around the LP/QP relaxations.  The B&B must
+        # see every master solve, so the fused-chunk cadence is pinned to 1.
         if self.MASTER_TYPE in (MASTER_MILP, MASTER_MIQP):
-            raise NotImplementedError(
-                f"MASTER_TYPE={self.MASTER_TYPE} (MILP/MIQP) is not "
-                "implemented; supported types are 0 (LP) and 5 (regularized "
-                "QP). A mixed-integer master would require a branch-and-"
-                "bound wrapper around the LP/QP kernels.")
-        if self.MASTER_TYPE not in (MASTER_LP, MASTER_QP):
+            if self.CHECK_EVERY != 1:
+                raise ValueError(
+                    "MASTER_TYPE 1/7 (MILP/MIQP) requires CHECK_EVERY=1: the "
+                    "branch-and-bound master runs on the host after every "
+                    "fused iteration")
+        elif self.MASTER_TYPE not in (MASTER_LP, MASTER_QP):
             raise ValueError(
-                f"unknown MASTER_TYPE={self.MASTER_TYPE}; use 0 (LP) or "
-                "5 (regularized QP)")
+                f"unknown MASTER_TYPE={self.MASTER_TYPE}; use 0 (LP), "
+                "1 (MILP), 5 (regularized QP) or 7 (MIQP)")
         if self.MULTIPLE_REP == 1:
             # A compromise problem needs >1 replication (twoSD.c:248-250).
             self.COMPROMISE_PROB = False

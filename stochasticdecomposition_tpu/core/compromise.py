@@ -59,12 +59,17 @@ def batch_entry_from_state(state) -> BatchEntry:
 
 
 def solve_compromise(pa: ProblemArrays, cfg: SDConfig,
-                     entries: List[BatchEntry]):
+                     entries: List[BatchEntry], *,
+                     x_lo=None, x_hi=None, _return_obj: bool = False):
     """Returns (compromise_x, avg_x).
 
     Variables: per replication b, a block [d_b (n1); eta_b].  Objective
     sum_b c'd_b + eta_b + (sigma_bar/2)||d_b||^2 with sigma_bar the averaged
     proximal scalar (compromise.c:216-224).  eta_b >= lb (compromise.c:121).
+
+    ``x_lo``/``x_hi`` override the first-stage variable bounds (applied to
+    every replication block — the equality ties make the copies one
+    decision); used by the branch-and-bound integer compromise below.
     """
     B = len(entries)
     n1 = int(pa.c1.shape[0])
@@ -74,8 +79,8 @@ def solve_compromise(pa: ProblemArrays, cfg: SDConfig,
     b1 = np.asarray(pa.b1)
     sense1 = np.asarray(pa.sense1)
     c1 = np.asarray(pa.c1)
-    l1 = np.asarray(pa.l1)
-    u1 = np.asarray(pa.u1)
+    l1 = np.asarray(pa.l1) if x_lo is None else np.asarray(x_lo)
+    u1 = np.asarray(pa.u1) if x_hi is None else np.asarray(x_hi)
 
     blk = n1 + 1
     nv = B * blk
@@ -162,6 +167,12 @@ def solve_compromise(pa: ProblemArrays, cfg: SDConfig,
     res = solve_qp(jnp.asarray(Q), jnp.asarray(c), jnp.asarray(A),
                    jnp.asarray(bb), jnp.asarray(G), jnp.asarray(h),
                    polish=(nv + len(A) + len(G)) <= 2000, max_iter=100)
+    if _return_obj:
+        # B&B node mode: report (x, obj, ok) and let the caller prune — a
+        # non-certified node on a tightened box is (almost always) an
+        # infeasible box, not an error.
+        d0 = np.asarray(res.v)[:n1]
+        return x0 + d0, float(res.obj), bool(res.converged)
     if not bool(res.converged):
         raise RuntimeError("compromise QP failed to converge")
 
@@ -169,3 +180,57 @@ def solve_compromise(pa: ProblemArrays, cfg: SDConfig,
     compromise_x = x0 + d0
     avg_x = np.mean([e.incumb_x for e in entries], axis=0)
     return compromise_x, avg_x
+
+
+def solve_compromise_mip(pa: ProblemArrays, cfg: SDConfig,
+                         entries: List[BatchEntry], *,
+                         max_nodes: int = 2048):
+    """Integer-mode compromise (MASTER_TYPE 1/7): the reference solves the
+    batch problem with the configured master type (compromise.c:260), so
+    CPLEX enforces first-stage integrality there too.  Host best-first
+    branch-and-bound on the common decision x = x0 + d0 over the continuous
+    batch-QP relaxation above.  Returns (compromise_x, avg_x) with
+    ``compromise_x`` integral on the flagged columns; ``avg_x`` is the plain
+    replication average (fractional by nature, reported as-is like the
+    reference's batch average)."""
+    int_idx = np.where(np.asarray(pa.int1))[0]
+    int_tol = 1e-6
+    lo = np.asarray(pa.l1, np.float64).copy()
+    hi = np.asarray(pa.u1, np.float64).copy()
+    lo[int_idx] = np.ceil(lo[int_idx] - int_tol)
+    hi[int_idx] = np.floor(hi[int_idx] + int_tol)
+
+    open_nodes = [(-np.inf, lo, hi)]
+    best_obj, best_x = np.inf, None
+    nodes = 0
+    while open_nodes and nodes < max_nodes:
+        open_nodes.sort(key=lambda t: t[0])
+        bound, lo_n, hi_n = open_nodes.pop(0)
+        if bound >= best_obj - 1e-9:
+            continue
+        nodes += 1
+        x, obj, ok = solve_compromise(pa, cfg, entries, x_lo=lo_n, x_hi=hi_n,
+                                      _return_obj=True)
+        if not ok or obj >= best_obj - 1e-9:
+            continue
+        frac = np.abs(x[int_idx] - np.round(x[int_idx]))
+        j_rel = int(np.argmax(frac)) if int_idx.size else 0
+        if int_idx.size == 0 or frac[j_rel] <= int_tol:
+            xi = x.copy()
+            xi[int_idx] = np.round(xi[int_idx])
+            best_obj, best_x = obj, xi
+            continue
+        j = int(int_idx[j_rel])
+        dn = hi_n.copy(); dn[j] = np.floor(x[j])
+        up = lo_n.copy(); up[j] = np.ceil(x[j])
+        if dn[j] >= lo_n[j] - int_tol:
+            open_nodes.append((obj, lo_n.copy(), dn))
+        if up[j] <= hi_n[j] + int_tol:
+            open_nodes.append((obj, up, hi_n.copy()))
+
+    if best_x is None:
+        raise RuntimeError(
+            f"integer compromise: no integer-feasible point found "
+            f"({nodes} nodes explored)")
+    avg_x = np.mean([e.incumb_x for e in entries], axis=0)
+    return best_x, avg_x

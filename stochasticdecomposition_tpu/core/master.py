@@ -37,7 +37,10 @@ class MasterResult(NamedTuple):
 
 
 def build_and_solve_master(pa: ProblemArrays, state: SDState, k,
-                           *, tol: float = 1e-9) -> MasterResult:
+                           *, tol: float = 1e-9,
+                           l1=None, u1=None) -> MasterResult:
+    """``l1``/``u1`` override the first-stage variable bounds — used by the
+    branch-and-bound MILP/MIQP master (core/bnb.py) to tighten a node's box."""
     dtype = pa.c1.dtype
     n1 = pa.c1.shape[0]
     m1 = pa.b1.shape[0]
@@ -79,8 +82,8 @@ def build_and_solve_master(pa: ProblemArrays, state: SDState, k,
     h_f = -f_rhs
 
     # Bound rows on d (infinite bounds masked off).
-    lo_d = pa.l1 - xbar
-    up_d = pa.u1 - xbar
+    lo_d = (pa.l1 if l1 is None else l1) - xbar
+    up_d = (pa.u1 if u1 is None else u1) - xbar
     eye = jnp.eye(n1, dtype=dtype)
     zcol = jnp.zeros((n1, 1), dtype)
     G_up = jnp.concatenate([eye, zcol], axis=1)
@@ -130,7 +133,7 @@ def build_and_solve_master(pa: ProblemArrays, state: SDState, k,
 
 
 def build_and_solve_master_lp(pa: ProblemArrays, state: SDState,
-                              k) -> MasterResult:
+                              k, *, l1=None, u1=None) -> MasterResult:
     """LP master (MASTER_TYPE=0, master.c:41 with PROB_LP): the plain
     Benders/L-shaped master in x-space — no proximal term, no d-shift.
 
@@ -180,8 +183,9 @@ def build_and_solve_master_lp(pa: ProblemArrays, state: SDState,
         jnp.ones(F, jnp.int32),
     ])
     c = jnp.concatenate([pa.c1, jnp.ones(1, dtype)])
-    lo = jnp.concatenate([pa.l1, pa.lb[None]])
-    hi = jnp.concatenate([pa.u1, jnp.full(1, jnp.inf, dtype)])
+    lo = jnp.concatenate([pa.l1 if l1 is None else l1, pa.lb[None]])
+    hi = jnp.concatenate([pa.u1 if u1 is None else u1,
+                          jnp.full(1, jnp.inf, dtype)])
 
     res = solve_lp(D, sense, c, lo, hi, b,
                    max_iter=8 * (D.shape[0] + nv) + 256)

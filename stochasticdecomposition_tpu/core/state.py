@@ -53,6 +53,9 @@ class ProblemArrays(NamedTuple):
     # Scalars.
     lb: jnp.ndarray          # lower bound on E[h]
     lb_nontrivial: bool      # static
+    # First-stage integrality (MASTER_TYPE 1/7; master.c:331 "LP, QP, MIP or
+    # MIQP").  All-False for pure LPs; the branch-and-bound master keys off it.
+    int1: jnp.ndarray = None  # [n1] bool
 
 
 class SDState(NamedTuple):
@@ -197,6 +200,9 @@ def stage_problem(sp: StagedProblem, dtype=jnp.float64) -> ProblemArrays:
         C_cols_rand=jnp.asarray(C_cols_rand, jnp.int32),
         lb=jnp.asarray(sp.lb, dtype),
         lb_nontrivial=not sp.lb_is_trivial,
+        int1=jnp.asarray(
+            f.is_int if f.is_int is not None
+            else np.zeros(f.A.shape[1], bool)),
     )
 
 

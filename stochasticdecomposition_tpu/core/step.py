@@ -16,7 +16,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from stochasticdecomposition_tpu.config import MASTER_LP, SDConfig
+from stochasticdecomposition_tpu.config import (
+    MASTER_LP, MASTER_MILP, SDConfig,
+)
 from stochasticdecomposition_tpu.core.cuts import (
     add_cut, form_cut, max_cut_height,
 )
@@ -57,7 +59,7 @@ def make_substeps(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig):
                                       jnp.bool_(False), state.k, tol)
         return state
 
-    lp_master = cfg.MASTER_TYPE == MASTER_LP
+    lp_master = cfg.MASTER_TYPE in (MASTER_LP, MASTER_MILP)
     master_solve = build_and_solve_master_lp if lp_master \
         else build_and_solve_master
 
@@ -103,7 +105,7 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
     tol = cfg.TOLERANCE
     dtype = pa.c1.dtype
     sub_pd = jnp.float32 if cfg.SUBPROB_F32_PIVOT else None
-    lp_master = cfg.MASTER_TYPE == MASTER_LP
+    lp_master = cfg.MASTER_TYPE in (MASTER_LP, MASTER_MILP)
     master_solve = build_and_solve_master_lp if lp_master \
         else build_and_solve_master
 

@@ -206,10 +206,58 @@ INDEP         DISCRETE
 ENDATA
 """
 
+# Integer capacity-expansion instance for the MILP/MIQP master modes
+# (MASTER_TYPE 1/7, config.sd:10-11): two INTEGER first-stage capacities
+# (SMPS MARKER INTORG/INTEND), continuous recourse with a penalty slack
+# (complete recourse), 3-point random demand.  The EF-MIP optimum is
+# brute-forceable by enumerating the 6x6 integer grid (tests/test_milp.py).
+_INTCAP_CORE = """NAME          INTCAP
+ROWS
+ N  OBJ
+ G  MINCAP
+ L  CAP1
+ L  CAP2
+ G  DEM
+COLUMNS
+    MARKER                 'MARKER'                 'INTORG'
+    X1        OBJ       3.0    MINCAP    1.0
+    X1        CAP1      -1.0
+    X2        OBJ       2.0    MINCAP    1.0
+    X2        CAP2      -1.0
+    MARKER                 'MARKER'                 'INTEND'
+    Y1        OBJ       2.0    CAP1      1.0
+    Y1        DEM       1.0
+    Y2        OBJ       5.0    CAP2      1.0
+    Y2        DEM       1.0
+    S         OBJ       20.0   DEM       1.0
+RHS
+    RHS       MINCAP    1.0    DEM       2.0
+BOUNDS
+ UP BND       X1        5.0
+ UP BND       X2        5.0
+ENDATA
+"""
+
+_INTCAP_TIME = """TIME          INTCAP
+PERIODS       IMPLICIT
+    X1        MINCAP    STAGE1
+    Y1        CAP1      STAGE2
+ENDATA
+"""
+
+_INTCAP_STOC = """STOCH         INTCAP
+INDEP         DISCRETE
+    RHS       DEM       1.0    STAGE2    0.3
+    RHS       DEM       2.0    STAGE2    0.4
+    RHS       DEM       3.0    STAGE2    0.3
+ENDATA
+"""
+
 INSTANCES = {
     "lands": (_LANDS_CORE, _LANDS_TIME, _LANDS_STOC),
     "pgp2like": (_PGP2LIKE_CORE, _PGP2LIKE_TIME, _PGP2LIKE_STOC),
     "feastest": (_FEAS_CORE, _FEAS_TIME, _FEAS_STOC),
+    "intcaplike": (_INTCAP_CORE, _INTCAP_TIME, _INTCAP_STOC),
 }
 
 

@@ -37,6 +37,10 @@ class FirstStage:
     ub: np.ndarray
     col_names: List[str]
     row_names: List[str]
+    # Integrality flags (SMPS MARKER INTORG/INTEND + BV bounds).  Drives the
+    # MILP/MIQP master modes (MASTER_TYPE 1/7, reference config.sd:10-11 —
+    # the reference passes the type straight to CPLEX at master.c:41).
+    is_int: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -129,7 +133,15 @@ def decompose(core: CoreProblem, tim: TimeData, stoc: StocData) -> StagedProblem
         ub=core.ub[:c1].copy(),
         col_names=core.col_names[:c1],
         row_names=core.row_names[:r1],
+        is_int=core.is_integer[:c1].copy(),
     )
+    if np.any(core.is_integer[c1:]):
+        # SD requires continuous recourse (the subproblem dual vertices ARE
+        # the algorithm); integer second-stage variables have no dual
+        # machinery in the reference either.
+        raise ValueError(
+            "integer second-stage variables are not supported: SD requires "
+            "continuous recourse (duals drive the cut machinery)")
     if np.any(core.A[:r1, c1:] != 0):
         raise ValueError("second-stage variables appear in first-stage rows")
     if np.any(core.c[c1:] != 0):

@@ -123,6 +123,35 @@ class SDSolver:
         self.full_test = make_full_test(self.pa, cfg, cfg.MAX_ITER)
         self.eval_batch_fn = None
         self.mean_sol = mean_value_solution(sp, dtype)
+        # MILP/MIQP master (MASTER_TYPE 1/7): the fused step solves the
+        # continuous relaxation (its duals feed the eviction/bootstrap
+        # machinery); a host branch-and-bound (core/bnb.py) then restores
+        # integrality on the candidate after every iteration — the
+        # master.c:41 solveProblem(.., config.MASTER_TYPE, ..) semantics.
+        self.mip_master = None
+        from stochasticdecomposition_tpu.config import (
+            MASTER_MILP, MASTER_MIQP,
+        )
+        if cfg.MASTER_TYPE in (MASTER_MILP, MASTER_MIQP) and \
+                bool(np.any(np.asarray(self.pa.int1))):
+            from stochasticdecomposition_tpu.core.bnb import make_mip_master
+            from stochasticdecomposition_tpu.core.cuts import max_cut_height
+            self.mip_master = make_mip_master(self.pa, cfg)
+            milp = cfg.MASTER_TYPE == MASTER_MILP
+            pa = self.pa
+
+            def _commit(s, x):
+                est = pa.c1 @ x + max_cut_height(pa, s, x, s.k)
+                s = s._replace(candid_x=x, candid_est=est,
+                               gamma=est - s.incumb_est)
+                if milp:
+                    # LP-mode reporting: candidate IS the solution
+                    # (no incumbent machinery, setup.c:113-119).
+                    s = s._replace(incumb_x=x, incumb_est=est,
+                                   gamma=jnp.zeros((), pa.c1.dtype))
+                return s
+
+            self._mip_commit = jax.jit(_commit)
         # All host-loop control scalars packed into ONE device array so the
         # per-iteration device->host sync is a single transfer.  Through a
         # remote-tunnel TPU each separate int()/bool() read is its own RPC
@@ -183,9 +212,11 @@ class SDSolver:
         # LP masters have no bootstrap lower bound (fullTest aborts at
         # optimal.c:104-108): the statistical stop is unavailable and the
         # run terminates on MAX_ITER only — the documented reference gap,
-        # handled explicitly.
-        from stochasticdecomposition_tpu.config import MASTER_LP
-        stat_stop = cfg.MASTER_TYPE != MASTER_LP
+        # handled explicitly.  MILP inherits the LP behavior (a MIP has no
+        # well-defined duals for the bootstrap test); MIQP keeps the
+        # statistical stop using the continuous relaxation's duals.
+        from stochasticdecomposition_tpu.config import MASTER_LP, MASTER_MILP
+        stat_stop = cfg.MASTER_TYPE not in (MASTER_LP, MASTER_MILP)
 
         optimal = False
         n_full_tests = 0
@@ -259,8 +290,32 @@ class SDSolver:
                     master_fails = 0
             else:
                 master_fails = 0
+            if self.mip_master is not None:
+                # Integer master (MASTER_TYPE 1/7): branch-and-bound over the
+                # relaxation replaces the candidate with the integral optimum
+                # of the SAME master (master.c:41 semantics); the relaxation's
+                # duals stay in state for the eviction/bootstrap machinery.
+                mres = self.mip_master(state)
+                if not mres.found:
+                    raise RuntimeError(
+                        f"B&B master found no integer-feasible point at "
+                        f"k={int(snap[0])} ({mres.nodes} nodes explored)")
+                state = self._mip_commit(
+                    state, jnp.asarray(mres.x, self.pa.c1.dtype))
+                snap = np.asarray(self._snapshot(state))
             if k % 100 == 0:
                 log(f"\nIteration-{k:4d}: ")
+
+        if self.mip_master is not None:
+            # The incumbent seed is the (possibly fractional) mean-value
+            # solution; if no integral candidate ever improved on it, report
+            # the final integral candidate instead — the user asked for a
+            # mixed-integer solution.
+            ii = np.where(np.asarray(self.pa.int1))[0]
+            xi = np.asarray(state.incumb_x)
+            if np.max(np.abs(xi[ii] - np.round(xi[ii]))) > 1e-6:
+                state = state._replace(incumb_x=state.candid_x,
+                                       incumb_est=state.candid_est)
 
         total = time.monotonic() - t0
         phase = {}
@@ -332,6 +387,11 @@ class SDSolver:
                 raise ValueError(
                     "checkpoint/resume is supported on the sequential path "
                     "only; drop --mesh or the checkpoint flags")
+            if self.mip_master is not None:
+                raise ValueError(
+                    "MILP/MIQP masters run on the sequential path only "
+                    "(the branch-and-bound is a per-iteration host loop); "
+                    "drop --mesh")
             from stochasticdecomposition_tpu.parallel.runner import (
                 run_replications_meshed,
             )
@@ -370,7 +430,15 @@ class SDSolver:
 
         if cfg.COMPROMISE_PROB and len(reps) > 1 and coord:
             entries = [r.batch_entry for r in reps]
-            cx, ax = solve_compromise(self.pa, cfg, entries)
+            if self.mip_master is not None:
+                # Integer mode: the reference applies MASTER_TYPE to the
+                # batch problem too (compromise.c:260).
+                from stochasticdecomposition_tpu.core.compromise import (
+                    solve_compromise_mip,
+                )
+                cx, ax = solve_compromise_mip(self.pa, cfg, entries)
+            else:
+                cx, ax = solve_compromise(self.pa, cfg, entries)
             result.compromise_x = cx
             result.average_x = ax
             if cfg.EVAL_FLAG:

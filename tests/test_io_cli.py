@@ -53,14 +53,14 @@ COMPROMISE_PROB	1
     assert cfg.apply_tolerance_preset("l").EPSILON == 0.01
 
 
-def test_mixed_integer_master_types_rejected():
-    # MASTER_TYPE 1 (MILP) / 7 (MIQP) are defined by the reference config
-    # schema (config.sd:10-11) but unimplemented here: requesting them must
-    # fail loudly, never silently run a continuous relaxation.
-    with pytest.raises(NotImplementedError, match="MILP/MIQP"):
-        SDConfig(MASTER_TYPE=1)
-    with pytest.raises(NotImplementedError, match="MILP/MIQP"):
-        SDConfig(MASTER_TYPE=7)
+def test_mixed_integer_master_types_accepted():
+    # MASTER_TYPE 1 (MILP) / 7 (MIQP), reference config.sd:10-11, run the
+    # branch-and-bound master (core/bnb.py, tests/test_milp.py); the fused
+    # chunk cadence must stay 1 so the host B&B sees every master solve.
+    assert SDConfig(MASTER_TYPE=1).MASTER_TYPE == 1
+    assert SDConfig(MASTER_TYPE=7).MASTER_TYPE == 7
+    with pytest.raises(ValueError, match="CHECK_EVERY=1"):
+        SDConfig(MASTER_TYPE=7, CHECK_EVERY=4)
     with pytest.raises(ValueError, match="unknown MASTER_TYPE"):
         SDConfig(MASTER_TYPE=3)
 
