@@ -257,6 +257,10 @@ void* sd_parse_core(const char* path) {
                 else if (btype == "PL") cd->ub[j] = kInf;
                 else if (btype == "BV") {
                     cd->lb[j] = 0.0; cd->ub[j] = 1.0; cd->is_int[j] = 1;
+                } else if (btype == "LI") {
+                    cd->lb[j] = val; cd->is_int[j] = 1;
+                } else if (btype == "UI") {
+                    cd->ub[j] = val; cd->is_int[j] = 1;
                 } else {
                     cd->error = "unknown bound type " + btype;
                     fclose(fh);

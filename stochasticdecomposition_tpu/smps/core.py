@@ -235,6 +235,12 @@ def _read_core_py(path: str) -> CoreProblem:
         elif btype == "BV":
             lb[j], ub[j] = 0.0, 1.0
             integer_cols.add(j)
+        elif btype == "LI":
+            lb[j] = v
+            integer_cols.add(j)
+        elif btype == "UI":
+            ub[j] = v
+            integer_cols.add(j)
         else:
             raise ValueError(f"unknown bound type {btype}")
 

@@ -37,6 +37,34 @@ def test_native_matches_python_instances(name):
     np.testing.assert_allclose(cn.lb, cp.lb)
     np.testing.assert_allclose(cn.ub, cp.ub)
     np.testing.assert_array_equal(cn.sense, cp.sense)
+    np.testing.assert_array_equal(cn.is_integer, cp.is_integer)
+
+
+_INT_BOUNDS_CORE = """NAME          IBND
+ROWS
+ N  OBJ
+ G  R1
+COLUMNS
+    X1        OBJ       1.0    R1        1.0
+    X2        OBJ       1.0    R1        1.0
+    X3        OBJ       1.0    R1        1.0
+RHS
+    RHS       R1        1.0
+BOUNDS
+ BV BND       X1
+ LI BND       X2        2.0
+ UI BND       X3        7.0
+ENDATA
+"""
+
+
+def test_integer_bound_types_bv_li_ui():
+    """BV / LI / UI mark integrality (and set bounds) in BOTH parsers."""
+    cn, cp = _roundtrip(_INT_BOUNDS_CORE)
+    for c in (cn, cp):
+        assert c.is_integer.tolist() == [True, True, True]
+        np.testing.assert_allclose(c.lb, [0.0, 2.0, 0.0])
+        np.testing.assert_allclose(c.ub, [1.0, np.inf, 7.0])
 
 
 def test_native_matches_python_synthetic():
