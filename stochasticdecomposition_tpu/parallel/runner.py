@@ -149,8 +149,11 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
         optimal = np.zeros(W, bool)
         pools = {i: ([], []) for i in range(W)}  # host feasibility cut pools
         # LP masters stop on MAX_ITER only (optimal.c:104-108; see runner.py).
-        from stochasticdecomposition_tpu.config import MASTER_LP
-        stat_stop = cfg.MASTER_TYPE != MASTER_LP
+        from stochasticdecomposition_tpu.config import MASTER_LP, MASTER_MILP
+        # MILP inherits the LP-mode MAX_ITER stop (runner.py rationale); the
+        # meshed driver only ever sees it integrality-free (SDSolver.run
+        # rejects --mesh when a B&B master is active).
+        stat_stop = cfg.MASTER_TYPE not in (MASTER_LP, MASTER_MILP)
 
         snap = np.asarray(snapshot(stacked))
         while not done.all():
