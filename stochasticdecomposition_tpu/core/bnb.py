@@ -40,14 +40,23 @@ PRUNE_EPS = 1e-9        # bound-pruning slack
 
 
 class MIPResult:
-    __slots__ = ("x", "obj", "found", "nodes", "waves")
+    __slots__ = ("x", "obj", "found", "nodes", "waves", "truncated",
+                 "uncertified")
 
-    def __init__(self, x, obj, found, nodes, waves):
+    def __init__(self, x, obj, found, nodes, waves, truncated=False,
+                 uncertified=0):
         self.x = x            # np [n1] — best integral solution (rounded)
         self.obj = obj        # master objective at x
         self.found = found    # bool: an integral solution was certified
         self.nodes = nodes    # nodes expanded
         self.waves = waves    # device dispatches
+        # Node limit hit with open nodes left: the incumbent may be
+        # suboptimal (the reference's CPLEX MIP solves to optimality, so a
+        # silent cap would be a divergence — "no silent caps").
+        self.truncated = truncated
+        # Nodes pruned because their relaxation failed to certify EVEN ON
+        # RETRY (distinct from integer-infeasible boxes).
+        self.uncertified = uncertified
 
 
 def make_mip_master(pa: ProblemArrays, cfg: SDConfig, *, wave: int = 8,
@@ -84,13 +93,14 @@ def make_mip_master(pa: ProblemArrays, cfg: SDConfig, *, wave: int = 8,
     u_root[int_idx] = np.floor(u_root[int_idx] + INT_TOL)
 
     def solve(state: SDState) -> MIPResult:
-        # (bound, lo, hi) open-node pool; bound = parent relaxation objective
-        # (root uses -inf).  Best-first: each wave takes the lowest bounds.
-        open_nodes = [(-np.inf, l_root.copy(), u_root.copy())]
+        # (bound, lo, hi, tries) open-node pool; bound = parent relaxation
+        # objective (root uses -inf).  Best-first: waves take lowest bounds.
+        open_nodes = [(-np.inf, l_root.copy(), u_root.copy(), 0)]
         best_obj = np.inf
         best_x = None
         nodes = 0
         waves = 0
+        uncertified = 0
 
         while open_nodes and nodes < max_nodes:
             open_nodes.sort(key=lambda t: t[0])
@@ -115,9 +125,19 @@ def make_mip_master(pa: ProblemArrays, cfg: SDConfig, *, wave: int = 8,
                 nodes += 1
                 if not bool(oks[w]):
                     # Uncertified relaxation: on a tightened box this is
-                    # (almost always) infeasibility — prune.  A transiently
-                    # unconverged feasible node would only cost optimality
-                    # of THIS master solve, never validity of the SD cuts.
+                    # USUALLY infeasibility — but master certification also
+                    # fails transiently on emulated-f64 backends (the same
+                    # event the runner's master_step retry tolerates,
+                    # runner.py), and pruning such a node could silently
+                    # lose the integral optimum.  Re-enqueue once; only a
+                    # second failure prunes, and is counted so the caller
+                    # can distinguish "relaxations failed to certify" from
+                    # "integer-infeasible".
+                    if take[w][3] == 0:
+                        open_nodes.append((take[w][0], take[w][1],
+                                           take[w][2], 1))
+                    else:
+                        uncertified += 1
                     continue
                 if objs[w] >= best_obj - PRUNE_EPS:
                     continue
@@ -138,10 +158,12 @@ def make_mip_master(pa: ProblemArrays, cfg: SDConfig, *, wave: int = 8,
                 up_lo = lo_w.copy()
                 up_lo[j] = np.ceil(xj)
                 if dn_hi[j] >= lo_w[j] - INT_TOL:
-                    open_nodes.append((float(objs[w]), lo_w.copy(), dn_hi))
+                    open_nodes.append((float(objs[w]), lo_w.copy(), dn_hi, 0))
                 if up_lo[j] <= hi_w[j] + INT_TOL:
-                    open_nodes.append((float(objs[w]), up_lo, hi_w.copy()))
+                    open_nodes.append((float(objs[w]), up_lo, hi_w.copy(), 0))
 
-        return MIPResult(best_x, best_obj, best_x is not None, nodes, waves)
+        truncated = bool(open_nodes) and nodes >= max_nodes
+        return MIPResult(best_x, best_obj, best_x is not None, nodes, waves,
+                         truncated=truncated, uncertified=uncertified)
 
     return solve

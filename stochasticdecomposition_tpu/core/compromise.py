@@ -200,18 +200,29 @@ def solve_compromise_mip(pa: ProblemArrays, cfg: SDConfig,
     lo[int_idx] = np.ceil(lo[int_idx] - int_tol)
     hi[int_idx] = np.floor(hi[int_idx] + int_tol)
 
-    open_nodes = [(-np.inf, lo, hi)]
+    open_nodes = [(-np.inf, lo, hi, 0)]
     best_obj, best_x = np.inf, None
     nodes = 0
+    uncertified = 0
     while open_nodes and nodes < max_nodes:
         open_nodes.sort(key=lambda t: t[0])
-        bound, lo_n, hi_n = open_nodes.pop(0)
+        bound, lo_n, hi_n, tries = open_nodes.pop(0)
         if bound >= best_obj - 1e-9:
             continue
         nodes += 1
         x, obj, ok = solve_compromise(pa, cfg, entries, x_lo=lo_n, x_hi=hi_n,
                                       _return_obj=True)
-        if not ok or obj >= best_obj - 1e-9:
+        if not ok:
+            # A transiently unconverged batch QP is not proof the box is
+            # integer-infeasible (the run's final deliverable would be
+            # silently lost): retry the node once; only a repeat failure
+            # prunes, and is counted for the terminal diagnostic.
+            if tries == 0:
+                open_nodes.append((bound, lo_n, hi_n, 1))
+            else:
+                uncertified += 1
+            continue
+        if obj >= best_obj - 1e-9:
             continue
         frac = np.abs(x[int_idx] - np.round(x[int_idx]))
         j_rel = int(np.argmax(frac)) if int_idx.size else 0
@@ -224,11 +235,16 @@ def solve_compromise_mip(pa: ProblemArrays, cfg: SDConfig,
         dn = hi_n.copy(); dn[j] = np.floor(x[j])
         up = lo_n.copy(); up[j] = np.ceil(x[j])
         if dn[j] >= lo_n[j] - int_tol:
-            open_nodes.append((obj, lo_n.copy(), dn))
+            open_nodes.append((obj, lo_n.copy(), dn, 0))
         if up[j] <= hi_n[j] + int_tol:
-            open_nodes.append((obj, up, hi_n.copy()))
+            open_nodes.append((obj, up, hi_n.copy(), 0))
 
     if best_x is None:
+        if uncertified:
+            raise RuntimeError(
+                f"integer compromise: batch-QP relaxations failed to "
+                f"converge ({uncertified} of {nodes} nodes uncertified "
+                "after retry) — not proof of integer infeasibility")
         raise RuntimeError(
             f"integer compromise: no integer-feasible point found "
             f"({nodes} nodes explored)")

@@ -71,6 +71,11 @@ class RunResult:
     average_eval: Optional[EvalResult] = None
 
 
+@functools.lru_cache(maxsize=32)
+def _mean_value_jit(max_iter: int):
+    return jax.jit(functools.partial(solve_lp, max_iter=max_iter))
+
+
 def mean_value_solution(sp: StagedProblem, dtype=jnp.float64) -> np.ndarray:
     """Solve the deterministic mean-value LP; its first-stage part seeds the
     initial candidate/incumbent (meanProblem at setup.c:21, used as xk)."""
@@ -88,9 +93,12 @@ def mean_value_solution(sp: StagedProblem, dtype=jnp.float64) -> np.ndarray:
     hi = np.concatenate([f.ub, s.ub])
     # One jitted program (instead of eager per-op dispatch, which pays a
     # compile+RPC per op through the remote tunnel) — and a single
-    # persistent-cache entry, so repeat processes skip the compile.
-    solve = jax.jit(functools.partial(
-        solve_lp, max_iter=12 * (A.shape[0] + A.shape[1]) + 256))
+    # persistent-cache entry, so repeat processes skip the compile.  The
+    # jit wrapper is memoized per max_iter: constructing several SDSolvers
+    # for the same instance in one process (bench parity stages, sweeps,
+    # SAMPLE_INCREMENT scans) then hits the in-process executable cache
+    # instead of re-tracing a fresh pjit object each time.
+    solve = _mean_value_jit(12 * (A.shape[0] + A.shape[1]) + 256)
     out = solve(jnp.asarray(A, dtype), jnp.asarray(sense, jnp.int32),
                 jnp.asarray(c, dtype), jnp.asarray(lo, dtype),
                 jnp.asarray(hi, dtype), jnp.asarray(b, dtype))
@@ -297,9 +305,23 @@ class SDSolver:
                 # duals stay in state for the eviction/bootstrap machinery.
                 mres = self.mip_master(state)
                 if not mres.found:
+                    if mres.uncertified:
+                        # Distinct failure mode: the box wasn't proven
+                        # integer-infeasible — node relaxations failed to
+                        # certify even after the per-node retry.
+                        raise RuntimeError(
+                            f"B&B master: node relaxations failed to certify "
+                            f"at k={int(snap[0])} ({mres.uncertified} of "
+                            f"{mres.nodes} nodes uncertified after retry)")
                     raise RuntimeError(
                         f"B&B master found no integer-feasible point at "
                         f"k={int(snap[0])} ({mres.nodes} nodes explored)")
+                if mres.truncated:
+                    # No silent caps: a node-limited B&B may report a
+                    # suboptimal integral master solution.
+                    log(f"\n[warn] B&B master hit its node limit at "
+                        f"k={int(snap[0])} ({mres.nodes} nodes); integral "
+                        "candidate may be suboptimal\n")
                 state = self._mip_commit(
                     state, jnp.asarray(mres.x, self.pa.c1.dtype))
                 snap = np.asarray(self._snapshot(state))
