@@ -165,6 +165,21 @@ class SDConfig:
         self.EPSILON, self.SCAN_LEN = TOLERANCE_PRESETS[level]
         return self
 
+    def eff_scan_len(self) -> int:
+        """Dual-stability window length in STEPS so it always spans the
+        same number of SAMPLES at any SAMPLE_INCREMENT.
+
+        The reference indexes the pi_ratio window by sample count
+        (cuts.c:172 ``pi_ratio[numSamples % SCAN_LEN]``); in batched mode
+        one ratio is produced per step of B samples, so the window is
+        ceil(SCAN_LEN / B) steps (>= 2 so the variance is defined) —
+        SCAN_LEN means the same sample history at any B, and batched runs
+        certify at sample counts comparable to batch-1."""
+        b = max(1, self.SAMPLE_INCREMENT)
+        if b == 1:
+            return self.SCAN_LEN
+        return max(-(-self.SCAN_LEN // b), 2)
+
     # Derived capacities -------------------------------------------------
     def max_cuts(self, first_stage_cols: int) -> int:
         """maxCuts = CUT_MULT*cols + 3 (reference: setup.c:126)."""

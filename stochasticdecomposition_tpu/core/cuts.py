@@ -182,8 +182,10 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
         # candidate and incumbent cuts of one iteration share a slot (the
         # second write overwrites the first), and the window counts
         # iterations, NOT form_cut calls.  In batched-sampling mode the
-        # caller passes a batch-scaled scan_len so the window spans the same
-        # number of steps.
+        # caller passes scan_len = ceil(SCAN_LEN / batch) steps
+        # (SDConfig.eff_scan_len) so the window spans the SAME number of
+        # SAMPLES at any batch size — SCAN_LEN is calibrated in samples,
+        # exactly as the reference's numSamples indexing.
         step_idx = (k // batch) if batch > 1 else k
         slot = jnp.mod(step_idx, scan_len)
         pi_ratio = jnp.where(pi_eval, state.pi_ratio.at[slot].set(ratio),
@@ -192,10 +194,11 @@ def form_cut(pa: ProblemArrays, state: SDState, x, k, *,
 
         # variance over the window (calcVariance, cuts.c:366-396); only
         # meaningful once the window has fully wrapped — the reference gates
-        # on numSamples - PI_EVAL_START > SCAN_LEN (cuts.c:173-176).
+        # on numSamples - PI_EVAL_START > SCAN_LEN (cuts.c:173-176); the
+        # gate here is likewise in SAMPLES (scan_len*batch >= SCAN_LEN).
         window = pi_ratio[:scan_len]
         var = jnp.var(window) * scan_len / (scan_len - 1)
-        have_window = (step_idx - pi_eval_start // max(batch, 1)) > scan_len
+        have_window = (k - pi_eval_start) > scan_len * batch
         variance = jnp.where(have_window, var, 1.0)
 
         stable = ~((jnp.abs(variance) >= 2e-6) | (ratio < 0.95))

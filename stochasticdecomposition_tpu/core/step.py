@@ -45,7 +45,7 @@ def make_substeps(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig):
     tol = cfg.TOLERANCE
     dtype = pa.c1.dtype
     batch_ = max(1, int(cfg.SAMPLE_INCREMENT))
-    scan_ = max(cfg.SCAN_LEN // batch_, 16) if batch_ > 1 else cfg.SCAN_LEN
+    scan_ = cfg.eff_scan_len()
 
     sub_pd = jnp.float32 if cfg.SUBPROB_F32_PIVOT else None
 
@@ -167,20 +167,28 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
             )
 
         def _shrink(s: SDState) -> SDState:
-            # No improvement: relax the proximal term (soln.c:50-51).
+            # No improvement: strengthen the proximal term (soln.c:50-51).
+            # The reference applies /R2 once per iteration == once per
+            # SAMPLE; a batched step covers `batch` samples, so compound
+            # R2 per sample — the quad_scalar trajectory is calibrated in
+            # samples at any SAMPLE_INCREMENT (without this the proximal
+            # stays ~B-fold too weak, the master bounces between distant
+            # vertices, and the pre-test never fires in batched mode).
             return s._replace(
                 quad_scalar=jnp.minimum(
                     jnp.asarray(cfg.MAX_QUAD_SCALAR, dtype),
-                    s.quad_scalar / cfg.R2),
+                    s.quad_scalar / (cfg.R2 ** batch)),
                 norm_dk_1=s.norm_dk,
             )
 
         return lax.cond(improved, _replace, _shrink, state)
 
     batch = max(1, int(cfg.SAMPLE_INCREMENT))
-    # One pi_ratio entry is written per *step*; with batched sampling the
-    # SCAN_LEN sample window corresponds to SCAN_LEN/batch steps.
-    eff_scan = max(cfg.SCAN_LEN // batch, 16) if batch > 1 else cfg.SCAN_LEN
+    # One pi_ratio entry is written per *step*; the window is
+    # ceil(SCAN_LEN/batch) steps so it spans SCAN_LEN SAMPLES at any batch
+    # (cuts.c:172 indexes the window by numSamples — certification is
+    # calibrated in samples, not steps).
+    eff_scan = cfg.eff_scan_len()
 
     def step(state: SDState) -> SDState:
         k = state.k + batch
