@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <map>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -42,6 +43,10 @@ struct CoreData {
     std::vector<int32_t> mat_col;
     std::vector<double> mat_val;
     double obj_constant = 0.0;
+    // RANGES rows reformulated to equality + bounded slack column
+    // (parallel arrays: constraint row index, appended slack column index).
+    std::vector<int32_t> range_rows;
+    std::vector<int32_t> range_cols;
     // Flattened name blobs for the Python side.
     std::string row_blob;                   // '\n'-joined
     std::string col_blob;
@@ -94,6 +99,7 @@ void* sd_parse_core(const char* path) {
     enum Section { NONE, ROWS, COLUMNS, RHS, RANGES, BOUNDS, OBJSENSE } sec = NONE;
     std::unordered_map<std::string, int32_t> row_index;
     std::unordered_map<std::string, int32_t> col_index;
+    std::map<int32_t, double> range_vals;   // ordered: ascending row index
     bool have_obj = false;
     bool in_integer = false;
     int objsense = 1;
@@ -212,9 +218,19 @@ void* sd_parse_core(const char* path) {
                 break;
             }
             case RANGES: {
-                cd->error = "RANGES section not supported";
-                fclose(fh);
-                return cd;
+                int start = (nt % 2 == 1) ? 1 : 0;
+                for (int k = start; k + 1 < nt; k += 2) {
+                    std::string rname = toks[k].str();
+                    double val = strtod(toks[k + 1].p, nullptr);
+                    auto rit = row_index.find(rname);
+                    if (rit == row_index.end()) {
+                        cd->error = "RANGES references unknown row " + rname;
+                        fclose(fh);
+                        return cd;
+                    }
+                    range_vals[rit->second] = val;
+                }
+                break;
             }
             case BOUNDS: {
                 // '<type> [<setname>] <col> [<val>]'
@@ -280,6 +296,30 @@ void* sd_parse_core(const char* path) {
     if (!have_obj && cd->error.empty())
         cd->error = "core file has no objective (N) row";
 
+    // RANGES lowering (same semantics as the Python parser's _apply_ranges:
+    // equality row + one slack column in [0, |range|]; +1 slack when the
+    // original rhs is the UPPER side, -1 when it is the LOWER side).
+    for (auto& kv : range_vals) {
+        int32_t i = kv.first;
+        double v = kv.second;
+        double coef;
+        if (cd->sense[i] == -1) coef = 1.0;            // L row
+        else if (cd->sense[i] == 1) coef = -1.0;       // G row
+        else coef = (v >= 0) ? -1.0 : 1.0;             // E row
+        cd->sense[i] = 0;
+        int32_t j = (int32_t)cd->col_names.size();
+        cd->col_names.push_back(cd->row_names[i] + "$RNG");
+        cd->obj.push_back(0.0);
+        cd->lb.push_back(0.0);
+        cd->ub.push_back(std::fabs(v));
+        cd->is_int.push_back(0);
+        cd->mat_row.push_back(i);
+        cd->mat_col.push_back(j);
+        cd->mat_val.push_back(coef);
+        cd->range_rows.push_back(i);
+        cd->range_cols.push_back(j);
+    }
+
     if (objsense == -1)
         for (auto& v : cd->obj) v = -v;
 
@@ -314,6 +354,9 @@ const double* sd_core_obj(void* h) { return static_cast<CoreData*>(h)->obj.data(
 const double* sd_core_lb(void* h) { return static_cast<CoreData*>(h)->lb.data(); }
 const double* sd_core_ub(void* h) { return static_cast<CoreData*>(h)->ub.data(); }
 const uint8_t* sd_core_is_int(void* h) { return static_cast<CoreData*>(h)->is_int.data(); }
+int64_t sd_core_nranges(void* h) { return static_cast<CoreData*>(h)->range_rows.size(); }
+const int32_t* sd_core_range_rows(void* h) { return static_cast<CoreData*>(h)->range_rows.data(); }
+const int32_t* sd_core_range_cols(void* h) { return static_cast<CoreData*>(h)->range_cols.data(); }
 const int32_t* sd_core_mat_row(void* h) { return static_cast<CoreData*>(h)->mat_row.data(); }
 const int32_t* sd_core_mat_col(void* h) { return static_cast<CoreData*>(h)->mat_col.data(); }
 const double* sd_core_mat_val(void* h) { return static_cast<CoreData*>(h)->mat_val.data(); }

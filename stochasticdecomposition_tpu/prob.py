@@ -143,6 +143,13 @@ def decompose(core: CoreProblem, tim: TimeData, stoc: StocData) -> StagedProblem
             "integer second-stage variables are not supported: SD requires "
             "continuous recourse (duals drive the cut machinery)")
     if np.any(core.A[:r1, c1:] != 0):
+        if any(row < r1 for row, _ in getattr(core, "range_slacks", [])):
+            # RANGES slacks are appended after the structural columns
+            # (smps/core.py _apply_ranges), which places them in the second
+            # stage; a ranged FIRST-stage row therefore cannot be staged.
+            raise NotImplementedError(
+                "RANGES on first-stage rows are not supported (the range "
+                "slack column falls outside the first-stage column block)")
         raise ValueError("second-stage variables appear in first-stage rows")
     if np.any(core.c[c1:] != 0):
         # Second-stage costs live in the subproblem objective d, not in c;

@@ -46,6 +46,10 @@ class CoreProblem:
     lb: np.ndarray                     # [n]
     ub: np.ndarray                     # [n]
     is_integer: np.ndarray             # [n] bool
+    # RANGES rows, reformulated at parse time into equality rows with one
+    # bounded slack column each (appended after the structural columns):
+    # list of (row_idx, slack_col_idx).  Empty when the file has no RANGES.
+    range_slacks: List[tuple] = dataclasses.field(default_factory=list)
 
     @property
     def n_rows(self) -> int:
@@ -183,6 +187,9 @@ def _read_core_py(path: str) -> CoreProblem:
                 pairs = toks[1:] if len(toks) % 2 == 1 else toks
                 for k in range(0, len(pairs) - 1, 2):
                     rname, val = pairs[k], float(pairs[k + 1])
+                    if rname not in row_index:
+                        raise ValueError(
+                            f"RANGES references unknown row {rname}")
                     ranges[row_index[rname]] = val
             elif section == "BOUNDS":
                 btype = toks[0].upper()
@@ -244,12 +251,26 @@ def _read_core_py(path: str) -> CoreProblem:
         else:
             raise ValueError(f"unknown bound type {btype}")
 
-    # RANGES: for row with rhs r and range v, the row becomes a two-sided
-    # constraint. Represent as modified sense/rhs where possible; general
-    # two-sided rows are rejected for now (none in the 2-SLP benchmark family).
-    if ranges:
-        raise NotImplementedError("RANGES section not supported yet")
+    # RANGES (standard MPS two-sided rows): row i with rhs r and range v
+    # becomes a two-sided constraint
+    #   L row:          r - |v| <= ax <= r
+    #   G row:          r       <= ax <= r + |v|
+    #   E row (v >= 0): r       <= ax <= r + v
+    #   E row (v <  0): r - |v| <= ax <= r
+    # Reformulated here as an EQUALITY with one bounded slack column:
+    #   ax + s*coef = r,  s in [0, |v|],  coef = +1 (upper side at r) or
+    #   -1 (lower side at r).  The rhs stays the ORIGINAL r, so a STOCH
+    # RHS entry on a ranged row shifts the whole interval (CPLEX ranged-row
+    # semantics under RHS randomization); the reference reader (spAlgorithms
+    # smps.h, used at twoSD.c:259) is a general MPS reader with the same
+    # RANGES support.  Slack columns are appended after the structural
+    # columns (second stage under the time split; a first-stage ranged row
+    # fails loudly in prob.decompose's cross-stage check).
+    A, b, sense, c, lb, ub, col_names, col_index, range_slacks = \
+        _apply_ranges(ranges, row_names, A, b, sense, c, lb, ub,
+                      col_names, col_index)
 
+    n = len(col_names)
     is_int = np.zeros(n, dtype=bool)
     for j in integer_cols:
         is_int[j] = True
@@ -262,5 +283,40 @@ def _read_core_py(path: str) -> CoreProblem:
         row_names=row_names, col_names=col_names,
         row_index=row_index, col_index=col_index,
         A=A, b=b, sense=sense, c=c, obj_constant=obj_constant,
-        lb=lb, ub=ub, is_integer=is_int,
+        lb=lb, ub=ub, is_integer=is_int, range_slacks=range_slacks,
     )
+
+
+def _apply_ranges(ranges, row_names, A, b, sense, c, lb, ub,
+                  col_names, col_index):
+    """Lower RANGES entries to equality-with-bounded-slack form (see the
+    caller comment for semantics).  Deterministic order: ascending row."""
+    range_slacks: List[tuple] = []
+    if not ranges:
+        return A, b, sense, c, lb, ub, col_names, col_index, range_slacks
+    rows = sorted(ranges)
+    m, n = A.shape
+    S = np.zeros((m, len(rows)))
+    s_lb = np.zeros(len(rows))
+    s_ub = np.zeros(len(rows))
+    for t, i in enumerate(rows):
+        v = ranges[i]
+        width = abs(v)
+        if sense[i] == SENSE_LE:
+            coef = 1.0                       # ax = r - s  ->  [r-|v|, r]
+        elif sense[i] == SENSE_GE:
+            coef = -1.0                      # ax = r + s  ->  [r, r+|v|]
+        else:                                # E row: sign of v picks a side
+            coef = -1.0 if v >= 0 else 1.0
+        S[i, t] = coef
+        s_ub[t] = width
+        sense[i] = SENSE_EQ
+        sname = f"{row_names[i]}$RNG"
+        col_index[sname] = n + t
+        col_names.append(sname)
+        range_slacks.append((int(i), n + t))
+    A = np.hstack([A, S])
+    c = np.concatenate([c, np.zeros(len(rows))])
+    lb = np.concatenate([lb, s_lb])
+    ub = np.concatenate([ub, s_ub])
+    return A, b, sense, c, lb, ub, col_names, col_index, range_slacks

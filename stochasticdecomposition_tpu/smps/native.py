@@ -70,6 +70,8 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                      "sd_core_row_names", "sd_core_col_names"):
             getattr(lib, name).restype = ctypes.c_char_p
             getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.sd_core_nranges.restype = ctypes.c_int64
+        lib.sd_core_nranges.argtypes = [ctypes.c_void_p]
         for name, ctyp in (
                 ("sd_core_rhs", ctypes.c_double),
                 ("sd_core_obj", ctypes.c_double),
@@ -79,7 +81,9 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 ("sd_core_sense", ctypes.c_int8),
                 ("sd_core_is_int", ctypes.c_uint8),
                 ("sd_core_mat_row", ctypes.c_int32),
-                ("sd_core_mat_col", ctypes.c_int32)):
+                ("sd_core_mat_col", ctypes.c_int32),
+                ("sd_core_range_rows", ctypes.c_int32),
+                ("sd_core_range_cols", ctypes.c_int32)):
             getattr(lib, name).restype = ctypes.POINTER(ctyp)
             getattr(lib, name).argtypes = [ctypes.c_void_p]
         lib.sd_free_core.restype = None
@@ -131,6 +135,11 @@ def read_core_native(path: str):
         row_names = lib.sd_core_row_names(h).decode().split("\n") if m else []
         col_names = lib.sd_core_col_names(h).decode().split("\n") if n else []
 
+        nr = int(lib.sd_core_nranges(h))
+        rr = arr(lib.sd_core_range_rows, nr, np.int64)
+        rc = arr(lib.sd_core_range_cols, nr, np.int64)
+        range_slacks = [(int(a), int(b)) for a, b in zip(rr, rc)]
+
         return CoreProblem(
             name=lib.sd_core_name(h).decode(),
             objsense=1,
@@ -140,7 +149,7 @@ def read_core_native(path: str):
             col_index={c: i for i, c in enumerate(col_names)},
             A=A, b=rhs, sense=sense, c=obj,
             obj_constant=float(lib.sd_core_obj_constant(h)),
-            lb=lb, ub=ub, is_integer=is_int,
+            lb=lb, ub=ub, is_integer=is_int, range_slacks=range_slacks,
         )
     finally:
         lib.sd_free_core(h)

@@ -73,3 +73,41 @@ def test_native_matches_python_synthetic():
     np.testing.assert_allclose(cn.A, cp.A)
     np.testing.assert_allclose(cn.b, cp.b)
     np.testing.assert_allclose(cn.c, cp.c)
+
+
+_RANGES_CORE_N = """NAME          RNGTEST
+ROWS
+ N  OBJ
+ L  RL
+ G  RG
+ E  REP
+ E  REN
+COLUMNS
+    X         OBJ       1.0    RL        1.0
+    Y         OBJ       2.0    RG        1.0
+    Z         OBJ       1.0    REP       1.0
+    W         OBJ       1.0    REN       1.0
+RHS
+    RHS       RL        10.0   RG        2.0
+    RHS       REP       1.0    REN       8.0
+RANGES
+    RNG       RL        4.0    RG        3.0
+    RNG       REP       2.0    REN       -2.0
+ENDATA
+"""
+
+
+def test_native_matches_python_ranges():
+    """RANGES lowering (equality + bounded slack) is golden-equal in both
+    parsers: names, matrix, senses, rhs, bounds and the slack map."""
+    cn, cp = _roundtrip(_RANGES_CORE_N)
+    assert cn.col_names == cp.col_names
+    assert cn.row_names == cp.row_names
+    np.testing.assert_allclose(cn.A, cp.A)
+    np.testing.assert_allclose(cn.b, cp.b)
+    np.testing.assert_allclose(cn.c, cp.c)
+    np.testing.assert_allclose(cn.lb, cp.lb)
+    np.testing.assert_allclose(cn.ub, cp.ub)
+    np.testing.assert_array_equal(cn.sense, cp.sense)
+    assert list(cn.range_slacks) == list(cp.range_slacks)
+    assert cn.range_slacks == [(0, 4), (1, 5), (2, 6), (3, 7)]

@@ -79,6 +79,73 @@ def test_synthetic_random_C():
     assert abs(obj - obj2) < 1e-6 * max(1.0, abs(obj))
 
 
+_RANGES_CORE = """NAME          RNGTEST
+ROWS
+ N  OBJ
+ L  RL
+ G  RG
+ E  REP
+ E  REN
+COLUMNS
+    X         OBJ       1.0    RL        1.0
+    Y         OBJ       2.0    RG        1.0
+    Z         OBJ       1.0    REP       1.0
+    W         OBJ       1.0    REN       1.0
+RHS
+    RHS       RL        10.0   RG        2.0
+    RHS       REP       1.0    REN       8.0
+RANGES
+    RNG       RL        4.0    RG        3.0
+    RNG       REP       2.0    REN       -2.0
+ENDATA
+"""
+
+
+def test_ranges_reformulation(tmp_path):
+    """RANGES rows lower to equality + bounded slack with the standard MPS
+    two-sided semantics: L:[r-|v|,r], G:[r,r+|v|], E+:[r,r+v], E-:[r-|v|,r]."""
+    from stochasticdecomposition_tpu.smps.core import _read_core_py
+
+    p = tmp_path / "rng.cor"
+    p.write_text(_RANGES_CORE)
+    core = _read_core_py(str(p))
+
+    assert core.col_names == ["X", "Y", "Z", "W",
+                              "RL$RNG", "RG$RNG", "REP$RNG", "REN$RNG"]
+    np.testing.assert_array_equal(core.sense, [0, 0, 0, 0])  # all equalities
+    np.testing.assert_allclose(core.b, [10.0, 2.0, 1.0, 8.0])  # rhs unchanged
+    # slack coefficients: +1 when rhs is the upper side, -1 when lower.
+    np.testing.assert_allclose(core.A[0, 4], 1.0)    # L row
+    np.testing.assert_allclose(core.A[1, 5], -1.0)   # G row
+    np.testing.assert_allclose(core.A[2, 6], -1.0)   # E row, v >= 0
+    np.testing.assert_allclose(core.A[3, 7], 1.0)    # E row, v < 0
+    np.testing.assert_allclose(core.lb[4:], 0.0)
+    np.testing.assert_allclose(core.ub[4:], [4.0, 3.0, 2.0, 2.0])
+    assert core.range_slacks == [(0, 4), (1, 5), (2, 6), (3, 7)]
+
+    # Functional check: min x+2y+z+w lands on the interval lower ends
+    # x=6 (RL: [6,10]), y=2 (RG: [2,5]), z=1 (REP: [1,3]), w=6 (REN: [6,8]).
+    from scipy.optimize import linprog
+
+    r = linprog(core.c, A_eq=core.A, b_eq=core.b,
+                bounds=list(zip(core.lb, core.ub)), method="highs")
+    assert r.status == 0
+    np.testing.assert_allclose(r.fun, 6 + 2 * 2 + 1 + 6, atol=1e-8)
+    np.testing.assert_allclose(r.x[:4], [6.0, 2.0, 1.0, 6.0], atol=1e-8)
+
+
+def test_ranges_unknown_row_rejected(tmp_path):
+    import pytest
+
+    bad = _RANGES_CORE.replace("RNG       RL", "RNG       NOPE")
+    p = tmp_path / "bad.cor"
+    p.write_text(bad)
+    from stochasticdecomposition_tpu.smps.core import _read_core_py
+
+    with pytest.raises(ValueError, match="unknown row"):
+        _read_core_py(str(p))
+
+
 def test_sampler_distribution():
     import jax
 
