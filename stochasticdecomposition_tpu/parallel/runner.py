@@ -86,17 +86,33 @@ def make_masked_multi_rep_step(pa, spec, cfg: SDConfig, mesh):
                    out_shardings=shardings, donate_argnums=0)
 
 
-def run_replications_meshed(solver, mesh=None, log=lambda s: None
+def run_replications_meshed(solver, mesh=None, log=lambda s: None,
+                            checkpoint_every: int = 0,
+                            checkpoint_dir: str | None = None,
+                            resume_from: str | None = None,
                             ) -> List["ReplicationResult"]:
     """Run all MULTIPLE_REP replications over the device mesh in waves of
     the mesh's rep-axis size.  Matches SDSolver.solve_replication per
     replication (same seeds, same stopping decisions, same feasibility
-    handling); returns the same ReplicationResult list."""
+    handling); returns the same ReplicationResult list.
+
+    Checkpoint/resume (SURVEY §5): every ``checkpoint_every`` iterations the
+    stacked wave state + per-replication host loop state is saved to
+    ``checkpoint_dir`` (utils/checkpoint.save_wave_checkpoint); finished
+    waves additionally save a ``mesh_waveNN_final.npz``.  ``resume_from``
+    restores a wave checkpoint and continues bit-identically; earlier
+    finished waves are rebuilt from their final files in the same directory.
+    """
+    import os
+
     from stochasticdecomposition_tpu.runner import (
         ReplicationResult, _key_from_seed,
     )
     from stochasticdecomposition_tpu.core.compromise import (
         batch_entry_from_state,
+    )
+    from stochasticdecomposition_tpu.utils.checkpoint import (
+        load_wave_checkpoint, save_wave_checkpoint,
     )
 
     cfg = solver.cfg
@@ -108,6 +124,15 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
         raise ValueError(
             f"omega capacity {solver.caps.O} not divisible by the obs mesh "
             f"axis {n_obs}")
+    if (checkpoint_every or resume_from) and jax.process_count() > 1:
+        raise ValueError(
+            "meshed checkpoint/resume requires a single-process mesh "
+            "(saving gathers the wave state to host numpy)")
+    resume_wave = -1
+    if resume_from:
+        # Peek the wave index without shape validation (that needs the
+        # staged wave below).
+        resume_wave = int(np.load(resume_from)["__host_wave_start"])
 
     shardings = state_shardings(mesh, with_rep_axis=True)
     done_sharding = NamedSharding(mesh, P("rep"))
@@ -116,6 +141,27 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
     # (see runner.SDSolver._snapshot for why); extract/scatter with
     # host-readable (replicated) outputs under multi-host meshes.
     _extract_rep, _scatter_rep, snapshot = _make_wave_helpers(mesh, shardings)
+
+    def _result_from_state(st, rep, opt, t_total, t_setup_):
+        return ReplicationResult(
+            rep=rep,
+            iterations=int(st.k),
+            incumb_x=np.asarray(st.incumb_x),
+            incumb_est=float(st.incumb_est),
+            optimal=bool(opt),
+            lp_count=int(st.lp_cnt),
+            unique_omegas=int(st.omega_cnt),
+            pool_sizes=dict(
+                omega=int(st.omega_cnt), lam=int(st.lambda_cnt),
+                sigma=int(st.sigma_cnt),
+                cuts=int(jnp.sum(st.cut_mask))),
+            time_total=t_total,
+            time_setup=t_setup_,
+            quad_scalar=float(st.quad_scalar),
+            cuts_active=int(jnp.sum(st.cut_mask)),
+            feas_rounds=int(st.feas_cnt),
+            batch_entry=batch_entry_from_state(st),
+        )
 
     results: List[ReplicationResult] = []
     R = cfg.MULTIPLE_REP
@@ -141,13 +187,46 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
         # of a process-local device array would not.
         stacked = jax.tree.map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *states)
-        stacked = jax.device_put(stacked, shardings)
-        t_setup = time.monotonic() - t0
 
         done = np.array([i >= len(reps) for i in range(W)])  # padding = done
         master_fails: dict = {}       # consecutive uncertified-master count
         optimal = np.zeros(W, bool)
         pools = {i: ([], []) for i in range(W)}  # host feasibility cut pools
+
+        if resume_from and wave_start < resume_wave:
+            # A wave that finished BEFORE the checkpoint: rebuild its
+            # results from the final file saved alongside the checkpoint.
+            fin = os.path.join(os.path.dirname(os.path.abspath(resume_from)),
+                               f"mesh_wave{wave_start:02d}_final.npz")
+            if not os.path.exists(fin):
+                raise FileNotFoundError(
+                    f"resume needs the finished-wave file {fin}")
+            st_fin, ex = load_wave_checkpoint(fin, stacked)
+            for i, rep in enumerate(reps):
+                st_i = jax.tree.map(lambda a: a[i], st_fin)
+                results.append(_result_from_state(
+                    st_i, rep, ex["optimal"][i], 0.0, 0.0))
+            continue
+        if resume_from and wave_start == resume_wave:
+            stacked, ex = load_wave_checkpoint(resume_from, stacked)
+            done = ex["done"]
+            optimal = ex["optimal"]
+            eval_keys = ex["eval_keys"]
+            master_fails = ex["master_fails"]
+            pools = ex["pools"]
+            # Padded lanes of a short final wave stay done.
+            for i in range(len(reps), W):
+                done[i] = True
+        stacked = jax.device_put(stacked, shardings)
+        t_setup = time.monotonic() - t0
+
+        def _save(path):
+            save_wave_checkpoint(
+                path, stacked, wave_start=wave_start, done=done,
+                optimal=optimal, eval_keys=eval_keys,
+                master_fails=master_fails, pools=pools)
+
+        last_ckpt_k = -1
         # LP masters stop on MAX_ITER only (optimal.c:104-108; see runner.py).
         from stochasticdecomposition_tpu.config import MASTER_LP, MASTER_MILP
         # MILP inherits the LP-mode MAX_ITER stop (runner.py rationale); the
@@ -236,29 +315,25 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None
                 snap = np.asarray(snapshot(stacked))
             kmin = int(np.min(snap[0][:len(reps)][~done[:len(reps)]])) \
                 if not done.all() else 0
+            if checkpoint_every and checkpoint_dir and kmin and \
+                    kmin % checkpoint_every == 0 and kmin != last_ckpt_k:
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                _save(os.path.join(
+                    checkpoint_dir,
+                    f"mesh_wave{wave_start:02d}_k{kmin:06d}.npz"))
+                last_ckpt_k = kmin
             if kmin % 100 == 0:
                 log(f"\nIteration-{kmin:4d}: ")
 
+        if checkpoint_every and checkpoint_dir:
+            # Finished-wave file: lets a later-wave resume rebuild this
+            # wave's results without re-running it.
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            _save(os.path.join(checkpoint_dir,
+                               f"mesh_wave{wave_start:02d}_final.npz"))
         total = time.monotonic() - t0
         for i, rep in enumerate(reps):
             st = _extract_rep(stacked, i)
-            results.append(ReplicationResult(
-                rep=rep,
-                iterations=int(st.k),
-                incumb_x=np.asarray(st.incumb_x),
-                incumb_est=float(st.incumb_est),
-                optimal=bool(optimal[i]),
-                lp_count=int(st.lp_cnt),
-                unique_omegas=int(st.omega_cnt),
-                pool_sizes=dict(
-                    omega=int(st.omega_cnt), lam=int(st.lambda_cnt),
-                    sigma=int(st.sigma_cnt),
-                    cuts=int(jnp.sum(st.cut_mask))),
-                time_total=total,
-                time_setup=t_setup,
-                quad_scalar=float(st.quad_scalar),
-                cuts_active=int(jnp.sum(st.cut_mask)),
-                feas_rounds=int(st.feas_cnt),
-                batch_entry=batch_entry_from_state(st),
-            ))
+            results.append(_result_from_state(st, rep, optimal[i], total,
+                                              t_setup))
     return results

@@ -390,8 +390,10 @@ class SDSolver:
 
         ``mesh``: a (rep, obs) jax.sharding.Mesh — replications then run
         data-parallel as one vmapped+sharded program (parallel/runner.py)
-        with identical per-replication stopping/feasibility behavior;
-        checkpointing is per-replication only in the sequential path.
+        with identical per-replication stopping/feasibility behavior.
+        Checkpoint/resume works on both paths: per-replication .npz on the
+        sequential path, stacked wave checkpoints on the meshed path
+        (utils/checkpoint.save_wave_checkpoint; single-process meshes).
         """
         cfg = self.cfg
         # Host-side epilogues — out-of-sample evaluation, the compromise QP
@@ -405,10 +407,6 @@ class SDSolver:
         )
         coord = is_coordinator()
         if mesh is not None:
-            if checkpoint_every or resume_from:
-                raise ValueError(
-                    "checkpoint/resume is supported on the sequential path "
-                    "only; drop --mesh or the checkpoint flags")
             if self.mip_master is not None:
                 raise ValueError(
                     "MILP/MIQP masters run on the sequential path only "
@@ -417,7 +415,9 @@ class SDSolver:
             from stochasticdecomposition_tpu.parallel.runner import (
                 run_replications_meshed,
             )
-            reps = run_replications_meshed(self, mesh, log=log)
+            reps = run_replications_meshed(
+                self, mesh, log=log, checkpoint_every=checkpoint_every,
+                checkpoint_dir=checkpoint_dir, resume_from=resume_from)
             if cfg.EVAL_FLAG and coord:
                 for r in reps:
                     r.eval = self.evaluate_x(r.incumb_x, r.rep)

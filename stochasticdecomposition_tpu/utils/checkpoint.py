@@ -74,3 +74,71 @@ def load_checkpoint(path: str, like: SDState) -> Tuple[SDState, dict]:
         extras["pool_beta"] = [np.asarray(b)
                                for b in data[_HOST_PREFIX + "pool_beta"]]
     return SDState(**kwargs), extras
+
+
+# ---- meshed-path wave checkpoints (parallel/runner.py) --------------------
+# The production (--mesh) driver steps a WAVE of replications as one
+# vmapped+sharded program; its checkpoint is the stacked [W, ...] SDState
+# plus the per-replication host loop state (done/optimal masks, eval-key
+# streams, feasibility-cut pools, uncertified-master counters) so a killed
+# run resumes bit-identically.
+
+
+def save_wave_checkpoint(path: str, stacked, *, wave_start: int, done,
+                         optimal, eval_keys, master_fails: dict,
+                         pools: dict) -> None:
+    W = len(done)
+    arrays = {f: np.asarray(getattr(stacked, f)) for f in SDState._fields}
+    arrays[_HOST_PREFIX + "wave_start"] = np.asarray(wave_start, np.int64)
+    arrays[_HOST_PREFIX + "done"] = np.asarray(done, bool)
+    arrays[_HOST_PREFIX + "optimal"] = np.asarray(optimal, bool)
+    arrays[_HOST_PREFIX + "eval_keys"] = np.stack(
+        [np.asarray(k) for k in eval_keys])
+    arrays[_HOST_PREFIX + "master_fails"] = np.asarray(
+        [int(master_fails.get(i, 0)) for i in range(W)], np.int64)
+    for i, (pa_, pb_) in pools.items():
+        if pa_:
+            arrays[_HOST_PREFIX + f"pool_alpha_{i}"] = np.asarray(pa_)
+            arrays[_HOST_PREFIX + f"pool_beta_{i}"] = np.stack(pb_)
+    np.savez_compressed(path, **arrays)
+
+
+def load_wave_checkpoint(path: str, like_stacked):
+    """Returns (stacked_state_numpy_pytree, extras).  ``like_stacked``
+    supplies the expected [W, ...] shapes/dtypes (a freshly staged wave)."""
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    kwargs = {}
+    for f in SDState._fields:
+        ref = np.asarray(getattr(like_stacked, f))
+        if f not in data:
+            kwargs[f] = ref
+            continue
+        arr = data[f]
+        if arr.shape != ref.shape:
+            raise ValueError(
+                f"wave checkpoint field {f} has shape {arr.shape}, expected "
+                f"{ref.shape} (mesh/capacities/config must match)")
+        kwargs[f] = arr.astype(ref.dtype)
+
+    done = data[_HOST_PREFIX + "done"]
+    W = len(done)
+    pools = {i: ([], []) for i in range(W)}
+    for i in range(W):
+        ka = _HOST_PREFIX + f"pool_alpha_{i}"
+        if ka in data:
+            pools[i] = ([float(a) for a in data[ka]],
+                        [np.asarray(b)
+                         for b in data[_HOST_PREFIX + f"pool_beta_{i}"]])
+    mf = data[_HOST_PREFIX + "master_fails"]
+    extras = dict(
+        wave_start=int(data[_HOST_PREFIX + "wave_start"]),
+        done=np.asarray(done, bool),
+        optimal=np.asarray(data[_HOST_PREFIX + "optimal"], bool),
+        eval_keys=[jnp.asarray(k)
+                   for k in data[_HOST_PREFIX + "eval_keys"]],
+        master_fails={i: int(mf[i]) for i in range(W) if mf[i]},
+        pools=pools,
+    )
+    return SDState(**kwargs), extras

@@ -73,3 +73,26 @@ def test_meshed_wave_scheduling_more_reps_than_mesh():
     seq = solver.run()
     msh = solver.run(mesh=make_mesh(n_rep=2, n_obs=4))
     _compare(seq, msh)
+
+
+def test_meshed_checkpoint_resume_bit_identical(tmp_path):
+    """A killed --mesh run resumes bit-identically (VERDICT r3 item 7):
+    3 reps over a 2-wide rep axis exercises BOTH the in-progress-wave
+    restore and the finished-wave-final rebuild path."""
+    ck = str(tmp_path / "ck")
+    solver = _solver("lands", MAX_ITER=40, EVAL_FLAG=False, MULTIPLE_REP=3)
+    mesh = make_mesh(n_rep=2, n_obs=4)
+    full = solver.run(mesh=mesh, checkpoint_every=16, checkpoint_dir=ck)
+
+    import glob
+    import os
+    # Resume the SECOND wave (rep 2) from its mid-run checkpoint; wave 0's
+    # results must come back from mesh_wave00_final.npz.
+    cks = sorted(glob.glob(os.path.join(ck, "mesh_wave02_k*.npz")))
+    assert cks, os.listdir(ck)
+    assert os.path.exists(os.path.join(ck, "mesh_wave00_final.npz"))
+    resumed = solver.run(mesh=mesh, resume_from=cks[0])
+    _compare(full, resumed)
+    for rf, rr in zip(full.replications, resumed.replications):
+        np.testing.assert_array_equal(rr.incumb_x, rf.incumb_x)
+        assert rr.incumb_est == rf.incumb_est
