@@ -42,7 +42,8 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
-def sweep(name: str, n_seeds: int, max_iter: int):
+def sweep(name: str, n_seeds: int, max_iter: int, si: int = 1,
+          min_iter: int = 1, check_every: int = 1):
     from stochasticdecomposition_tpu.config import SDConfig
     from stochasticdecomposition_tpu.models.extensive import (
         enumerate_scenarios, exact_objective_fn, solve_extensive_form,
@@ -55,7 +56,9 @@ def sweep(name: str, n_seeds: int, max_iter: int):
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     outs, probs = enumerate_scenarios(stoc, sp.rv_order)
     ef_obj, _ = solve_extensive_form(sp, outs, probs)
-    cfg = SDConfig(MAX_ITER=max_iter, EVAL_FLAG=False)  # nominal preset
+    cfg = SDConfig(MAX_ITER=max_iter, EVAL_FLAG=False,  # nominal preset
+                   SAMPLE_INCREMENT=si, MIN_ITER=min_iter,
+                   CHECK_EVERY=check_every)
     solver = SDSolver(sp, cfg)
     exact = exact_objective_fn(solver.pa, outs, probs)
 
@@ -72,6 +75,8 @@ def sweep(name: str, n_seeds: int, max_iter: int):
     gaps = [r["gap"] for r in rows]
     return {
         "instance": name,
+        "sample_increment": si,
+        "min_iter": min_iter,
         "ef_obj": round(ef_obj, 6),
         "gaps": gaps,
         "iters": [r["iters"] for r in rows],
@@ -88,8 +93,18 @@ def main():
     ap.add_argument("instances", nargs="+")
     ap.add_argument("--seeds", type=int, default=30)
     ap.add_argument("--max-iter", type=int, default=1024)
+    ap.add_argument("--si", type=int, default=1,
+                    help="SAMPLE_INCREMENT (batched sampling)")
+    ap.add_argument("--min-iter", type=int, default=1,
+                    help="MIN_ITER: minimum SAMPLES before the stop gate "
+                         "opens — the reference's own depth knob; batched "
+                         "samples are ~40x cheaper, so forcing thousands "
+                         "of samples is the in-framework cure for "
+                         "flat-objective tails (RESULTS.md section 2)")
+    ap.add_argument("--check-every", type=int, default=1)
     args = ap.parse_args()
-    out = [sweep(n, args.seeds, args.max_iter) for n in args.instances]
+    out = [sweep(n, args.seeds, args.max_iter, args.si, args.min_iter,
+                 args.check_every) for n in args.instances]
     print(json.dumps(out), flush=True)
 
 

@@ -41,6 +41,9 @@ def main():
                     help="sample budget (k counts samples)")
     ap.add_argument("--check-every", type=int, default=4)
     ap.add_argument("--seed-rep", type=int, default=0)
+    ap.add_argument("--f32-pivot", action="store_true",
+                    help="run the SD-loop subproblem pivot loops in f32 "
+                         "(SUBPROB_F32_PIVOT; duals/basis still f64)")
     args = ap.parse_args()
 
     from stochasticdecomposition_tpu.config import SDConfig
@@ -52,7 +55,8 @@ def main():
     core, tim, stoc = load_suite_instance(args.name)
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     cfg = SDConfig(MAX_ITER=args.max_iter, EVAL_FLAG=False,
-                   SAMPLE_INCREMENT=args.si, CHECK_EVERY=args.check_every)
+                   SAMPLE_INCREMENT=args.si, CHECK_EVERY=args.check_every,
+                   SUBPROB_F32_PIVOT=args.f32_pivot)
     cfg = cfg.apply_tolerance_preset(args.tol)
     solver = SDSolver(sp, cfg)
     t_setup = time.perf_counter() - t0
@@ -76,6 +80,7 @@ def main():
         "tolerance": args.tol,
         "sample_increment": args.si,
         "check_every": args.check_every,
+        "f32_pivot": bool(args.f32_pivot),
         "samples_to_stop": r.iterations,
         "stopped_statistically": bool(r.optimal),
         "wall_s": round(wall, 1),

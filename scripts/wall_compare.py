@@ -36,7 +36,8 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
-def run_wall_suite(include_ssn: bool = True, ssn_samples: int = 256):
+def run_wall_suite(include_ssn: bool = True, ssn_samples: int = 256,
+                   include_storm: bool = False):
     from stochasticdecomposition_tpu.config import SDConfig
     from stochasticdecomposition_tpu.models.instances import load_instance
     from stochasticdecomposition_tpu.prob import decompose
@@ -87,9 +88,39 @@ def run_wall_suite(include_ssn: bool = True, ssn_samples: int = 256):
         ss = SDSolver(spn, SDConfig(MAX_ITER=ssn_samples, EVAL_FLAG=False,
                                     SAMPLE_INCREMENT=8, CHECK_EVERY=4))
         leg("ssn_si8", ss, time.perf_counter() - t0)
+
+    if include_storm:
+        # Storm-scale leg (VERDICT r3 item 1): STEADY samples/s of the
+        # production batched f32-pivot config on this backend.  The CPU
+        # backend cannot afford a to-stop run inside the bench window, so
+        # both backends report the same bounded measurement: a short
+        # fixed-sample run (compile included in *_build_s) plus the
+        # steady-state dispatch rate on the compiled step — the honest
+        # rate ratio at identical configs.
+        from bench import bench_sd_rate
+        from stochasticdecomposition_tpu.models.suite import (
+            load_suite_instance,
+        )
+        core, tim, stoc = load_suite_instance("stormlike")
+        spst = attach_stoc(decompose(core, tim, stoc), stoc)
+        t0 = time.perf_counter()
+        cfgst = SDConfig(MAX_ITER=1024, EVAL_FLAG=False,
+                         SAMPLE_INCREMENT=64, CHECK_EVERY=4,
+                         SUBPROB_F32_PIVOT=True).apply_tolerance_preset("l")
+        sst = SDSolver(spst, cfgst)
+        out["storm_si64_build_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        _, steady, _ = bench_sd_rate(sst, cfgst, n_iter=4)
+        out["storm_si64_compile_plus_probe_s"] = round(
+            time.perf_counter() - t0, 1)
+        out["storm_si64_steady_samples_per_s"] = round(
+            steady * cfgst.CHECK_EVERY, 2)
     return out
 
 
 if __name__ == "__main__":
     include_ssn = "--no-ssn" not in sys.argv
-    print(json.dumps(run_wall_suite(include_ssn=include_ssn)), flush=True)
+    include_storm = "--storm" in sys.argv
+    print(json.dumps(run_wall_suite(include_ssn=include_ssn,
+                                    include_storm=include_storm)),
+          flush=True)

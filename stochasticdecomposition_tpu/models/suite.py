@@ -55,6 +55,13 @@ SUITE = {
                     support=5),
     "stormlike": dict(seed=109, n1=121, m1=59, n2=1259, m2=528, n_rv=118,
                       support=5),
+    # High-variance storm-class variant: same dimensions, wider discrete
+    # supports (9-point) with 8x the spread, so the statistical stop needs
+    # thousands of samples at nominal tolerance — the long-horizon regime
+    # (MAX_ITER 5000, SCAN_LEN-deep pi_ratio histories) the reference's
+    # real storm data exercises (config.sd MAX_ITER; VERDICT r3 item 4).
+    "stormhvlike": dict(seed=109, n1=121, m1=59, n2=1259, m2=528, n_rv=118,
+                        support=9, rv_spread=8.0),
 }
 
 

@@ -13,7 +13,8 @@ import numpy as np
 
 def random_two_stage(seed: int = 0, n1: int = 4, m1: int = 2, n2: int = 8,
                      m2: int = 5, n_rv: int = 3, support: int = 3,
-                     rand_C: int = 0, rand_d: int = 0):
+                     rand_C: int = 0, rand_d: int = 0,
+                     rv_spread: float = 1.0):
     """Build SMPS text for a random feasible instance; returns (cor, tim, sto).
 
     Structure: first stage  min c'x s.t. sum x >= r, x <= u (via rows);
@@ -73,10 +74,17 @@ def random_two_stage(seed: int = 0, n1: int = 4, m1: int = 2, n2: int = 8,
            "    Y0        R2_0      STAGE2\nENDATA\n")
 
     sto_lines = ["STOCH         SYNTH", "INDEP         DISCRETE"]
+    # ``rv_spread`` scales the RHS support width: the generated stand-ins'
+    # recourse variance tracks it, so high-spread variants (suite
+    # 'stormhvlike') force deep statistical-certification runs — the
+    # long-horizon regime the published storm/20term data lives in
+    # (VERDICT r3 item 4) — while spread=1 reproduces the original
+    # scale-faithful members.
     rv_rows = rng.choice(m2, size=min(n_rv, m2), replace=False)
     for r in rv_rows:
         base = b2[r]
-        vals = np.sort(base + rng.uniform(-2.0, 4.0, support).round(2))
+        vals = np.sort(base + (rv_spread *
+                               rng.uniform(-2.0, 4.0, support)).round(2))
         probs = rng.uniform(0.5, 1.5, support)
         probs = (probs / probs.sum()).round(6)
         probs[-1] = round(1.0 - probs[:-1].sum(), 6)

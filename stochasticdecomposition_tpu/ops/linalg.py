@@ -51,3 +51,27 @@ def gj_inv(A: jnp.ndarray) -> jnp.ndarray:
     """Matrix inverse via Gauss-Jordan (any dtype, any backend)."""
     n = A.shape[0]
     return gj_solve(A, jnp.eye(n, dtype=A.dtype))
+
+
+def lu_refine_inv(A: jnp.ndarray, steps: int = 3) -> jnp.ndarray:
+    """f64 inverse via f32 LU + Newton refinement — the MXU-friendly path.
+
+    ``gj_inv`` runs m SEQUENTIAL elimination steps (dominant latency at
+    storm scale, m=528); here the factorization is one fused f32
+    LuDecomposition kernel (the TPU backend has no f64 LU) and the f64
+    accuracy comes from Newton's iteration for the inverse,
+    X <- X (2I - A X), which squares the residual each step: with
+    r0 = ||I - A X0|| ~ kappa(A) * 1e-7 from the f32 seed, three steps
+    reach r0^8 — full f64 accuracy for the basis conditioning the simplex
+    tolerances admit (kappa up to ~1e6).  Cost: 2*steps dense [m, m]
+    matmuls, all MXU/parallel work instead of an O(m) sequential chain.
+    A singular input yields non-finite output (as with gj_inv's saturated
+    pivots), which callers already guard.
+    """
+    dt = A.dtype
+    X = jnp.linalg.inv(A.astype(jnp.float32)).astype(dt)
+    I2 = 2.0 * jnp.eye(A.shape[0], dtype=dt)
+    for _ in range(steps):
+        AX = jnp.matmul(A, X, precision=lax.Precision.HIGHEST)
+        X = jnp.matmul(X, I2 - AX, precision=lax.Precision.HIGHEST)
+    return X

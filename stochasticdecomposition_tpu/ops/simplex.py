@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from stochasticdecomposition_tpu.ops.linalg import gj_inv
+from stochasticdecomposition_tpu.ops.linalg import lu_refine_inv
 
 # Column / row status codes (mirror CPLEX's CPX_AT_LOWER etc. so that the
 # encode/dedup logic of the reference, randCost.c:171-172, carries over).
@@ -130,11 +130,12 @@ def _nonbasic_values(sf: StandardForm, at_upper, in_basis):
 def _refactorize(sf: StandardForm, basis):
     B = jnp.take(sf.A, basis, axis=1)                       # [m, m]
     if B.dtype == jnp.float32:
-        # XLA's LU-based inverse is a single fused op on TPU for f32 —
-        # vs gj_inv's m sequential elimination steps (f64 has no TPU
-        # LuDecomposition, so the f64 path keeps Gauss-Jordan).
+        # XLA's LU-based inverse is a single fused op on TPU for f32.
         return jnp.linalg.inv(B)
-    return gj_inv(B)
+    # f64: f32 LU seed + Newton refinement — parallel MXU matmuls instead
+    # of gj_inv's m sequential elimination steps (dominant latency at
+    # storm scale; see ops/linalg.lu_refine_inv).
+    return lu_refine_inv(B)
 
 
 def _compute_xb(sf: StandardForm, binv, basis, xn_full):

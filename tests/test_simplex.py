@@ -218,3 +218,37 @@ def test_suite_scale_degenerate_batch():
         ref = _scipy_solve(D, sense, np.asarray(cost), np.asarray(pa.l2),
                            np.asarray(pa.u2), np.asarray(rhs))
         assert abs(float(objs[i]) - ref.fun) / (1 + abs(ref.fun)) < 1e-6
+
+
+def test_lu_refine_inv_accuracy():
+    """Newton-refined f32-seed inverse reaches f64 accuracy on
+    well-to-moderately-conditioned bases (the simplex refactorization
+    contract; ill-conditioning beyond ~1e6 is excluded by pivot tols)."""
+    import numpy as np
+
+    from stochasticdecomposition_tpu.ops.linalg import gj_inv, lu_refine_inv
+
+    rng = np.random.default_rng(0)
+    for m, cond in [(7, 1e2), (80, 1e3), (256, 1e5), (528, 1e6)]:
+        u, _ = np.linalg.qr(rng.standard_normal((m, m)))
+        v, _ = np.linalg.qr(rng.standard_normal((m, m)))
+        s = np.logspace(0, np.log10(cond), m)
+        A = jnp.asarray(u @ np.diag(s) @ v, jnp.float64)
+        X = np.asarray(lu_refine_inv(A))
+        R = np.eye(m) - np.asarray(A) @ X
+        assert np.max(np.abs(R)) < 1e-9, (m, cond, np.max(np.abs(R)))
+        # Parity with the Gauss-Jordan path it replaces.
+        Xg = np.asarray(gj_inv(A))
+        assert np.max(np.abs(X - Xg)) < 1e-6 * np.max(np.abs(Xg))
+
+
+def test_lu_refine_inv_singular_nonfinite():
+    """A singular basis must surface as non-finite output (the warm-start
+    guard in solve_lp keys on isfinite), not silently-junk values."""
+    import numpy as np
+
+    from stochasticdecomposition_tpu.ops.linalg import lu_refine_inv
+
+    A = jnp.asarray(np.ones((16, 16)), jnp.float64)
+    X = np.asarray(lu_refine_inv(A))
+    assert not np.all(np.isfinite(X))
