@@ -85,17 +85,32 @@ def rhs_batch(pa, spec, x, key, batch):
 
 
 def measure(pa, spec, x, batch, pivot_dtype, rounds=3, lite=True):
-    from stochasticdecomposition_tpu.ops.simplex import solve_lp
+    from jax import lax
+
+    from stochasticdecomposition_tpu.ops.simplex import (
+        MAX_VMAP_LANES, solve_lp,
+    )
 
     m, n2 = pa.D.shape
     nt = n2 + m
+    # Wider batches run as lax.map chunks of MAX_VMAP_LANES inside one jit
+    # (raw vmap widths >= 1024 miscompile on TPU; see ops/simplex).
+    lanes = min(batch, MAX_VMAP_LANES)
+    assert batch % lanes == 0, (batch, lanes)
 
     def one(key):
         rhs = rhs_batch(pa, spec, x, key, batch)
-        res = jax.vmap(lambda b: solve_lp(
-            pa.D, pa.sense2, pa.d_bar, pa.l2, pa.u2, b,
-            pivot_dtype=pivot_dtype, lite=lite))(rhs)
-        return res.iters, res.status, res.obj
+
+        def chunk(rb):
+            res = jax.vmap(lambda b: solve_lp(
+                pa.D, pa.sense2, pa.d_bar, pa.l2, pa.u2, b,
+                pivot_dtype=pivot_dtype, lite=lite))(rb)
+            return res.iters, res.status, res.obj
+
+        if batch > lanes:
+            it, st, ob = lax.map(chunk, rhs.reshape(batch // lanes, lanes, -1))
+            return it.reshape(-1), st.reshape(-1), ob.reshape(-1)
+        return chunk(rhs)
 
     fn = jax.jit(one)
     t0 = time.perf_counter()
@@ -178,7 +193,10 @@ def main():
                  else LANES[tag])
         for batch in lanes:
             for pd, label in ((jnp.float32, "f32"), (None, "f64")):
-                r = measure(pa, spec, x, batch, pd)
+                try:
+                    r = measure(pa, spec, x, batch, pd)
+                except Exception as e:   # e.g. f64 HBM OOM at high lanes
+                    r = {"error": str(e)[:160]}
                 out[f"{tag}_b{batch}_{label}"] = r
                 print(f"[{tag} b={batch} {label}] {r}", file=sys.stderr,
                       flush=True)

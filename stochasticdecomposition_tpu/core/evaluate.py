@@ -68,7 +68,26 @@ def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
                            init_basis=base.basis, init_at_upper=base_atup)
             return res.obj, res.status == STATUS_OPTIMAL
 
-        objs, ok = jax.vmap(solve_one)(w)
+        # Cap the vmap width per dispatch (ops/simplex.MAX_VMAP_LANES: wider
+        # widths miscompile on the TPU backend); larger EVAL_BATCHes run as
+        # lax.map chunks inside this one jitted program — measured at the
+        # same throughput (the solver saturates the chip well below the
+        # cap), so this costs nothing.
+        from stochasticdecomposition_tpu.ops.simplex import MAX_VMAP_LANES
+
+        if batch > MAX_VMAP_LANES:
+            from jax import lax
+
+            lanes = MAX_VMAP_LANES
+            n_chunks = -(-batch // lanes)
+            pad = n_chunks * lanes - batch
+            w_p = jnp.concatenate([w, w[:pad]]) if pad else w
+            objs_c, ok_c = lax.map(
+                jax.vmap(solve_one), w_p.reshape(n_chunks, lanes, -1))
+            objs = objs_c.reshape(-1)[:batch]
+            ok = ok_c.reshape(-1)[:batch]
+        else:
+            objs, ok = jax.vmap(solve_one)(w)
         objs = jnp.where(ok, objs, 0.0)
         n_ok = jnp.sum(ok)
         mean = jnp.sum(objs) / jnp.maximum(n_ok, 1)

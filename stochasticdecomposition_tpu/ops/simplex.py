@@ -49,6 +49,20 @@ STATUS_INFEASIBLE = 1
 STATUS_UNBOUNDED = 2
 STATUS_ITER_LIMIT = 3
 
+# Maximum lanes per vmapped solve_lp DISPATCH.  On the TPU backend, vmap
+# widths >= 1024 of this solver on ssn-shape LPs (175x881) deterministically
+# miscompile: lanes terminate at feasible but wildly suboptimal vertices
+# with OPTIMAL status and self-consistent (wrong-program) duals, while the
+# identical inputs solved at <= 512 lanes — or as lax.map chunks of 512
+# inside ONE jit — are correct at the same throughput (the kernel is
+# compute-saturated well below 512 lanes).  Isolation: batched
+# jnp.linalg.inv and the pricing/ftran GEMVs are each correct at 2048 lanes,
+# and disabling TPU rematerialization does not change the wrong results, so
+# this is a whole-program compiler defect, not a kernel of ours.  Batch
+# entry points (core/evaluate.make_eval_batch, scripts/lp_scaling) chunk
+# wider batches with lax.map at this width.
+MAX_VMAP_LANES = 512
+
 _BIG = jnp.inf
 
 
@@ -125,6 +139,36 @@ def _nonbasic_values(sf: StandardForm, at_upper, in_basis):
     v_upper = jnp.where(jnp.isfinite(up), up, jnp.where(jnp.isfinite(lo), lo, 0.0))
     vals = jnp.where(at_upper, v_upper, v_lower)
     return jnp.where(in_basis, 0.0, vals)
+
+
+def _certify_optimal(status, dj, in_basis, at_upper, lo, up, c, tol):
+    """Demote claimed-OPTIMAL lanes whose clean-refactorization reduced
+    costs violate dual feasibility by far more than pivot-tolerance drift.
+
+    Defense-in-depth for the full (non-lite) path, where dj already comes
+    from an independent f64 refactorization of the final basis — the check
+    costs only comparisons.  It catches loop-carry corruption (a basis
+    left at a genuinely suboptimal vertex shows order-1 dual
+    infeasibility) and tolerance-level Devex/Harris termination slips.
+    NOTE: it cannot catch the wide-vmap whole-program miscompilation
+    documented at MAX_VMAP_LANES (there the duals are self-consistent with
+    the corrupted program); the lane-width cap is the defense for that.
+    Demoted lanes get ITER_LIMIT, which every caller already treats as
+    "lane not usable" (the evaluator drops it, the SD loop fails loudly).
+    The threshold sits far above legitimate refactorization drift, so
+    healthy lanes are never demoted (tested across the scipy-parity
+    suite).
+    """
+    ctol = jnp.asarray(
+        jnp.maximum(1e-3, 1e3 * tol) * (1.0 + jnp.max(jnp.abs(c))), dj.dtype)
+    fixed = (up - lo) <= tol
+    free_nb = ~in_basis & ~jnp.isfinite(lo) & ~jnp.isfinite(up)
+    at_lo = ~in_basis & ~fixed & (~at_upper | free_nb)
+    at_up = ~in_basis & ~fixed & (at_upper | free_nb)
+    viol = (at_lo & (dj < -ctol)) | (at_up & (dj > ctol))
+    dual_ok = ~jnp.any(viol)
+    return jnp.where((status == STATUS_OPTIMAL) & ~dual_ok,
+                     jnp.int32(STATUS_ITER_LIMIT), status)
 
 
 def _refactorize(sf: StandardForm, basis):
@@ -532,6 +576,11 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
     # Non-finite guard (see lite path).
     status = jnp.where(jnp.isfinite(obj) & jnp.all(jnp.isfinite(pi)), status,
                        jnp.int32(STATUS_ITER_LIMIT))
+    # Independent dual certification — dj_full already comes from the clean
+    # f64 refactorization of the final basis (not the loop carry), so this
+    # costs only the comparisons.
+    status = _certify_optimal(status, dj_full, final.in_basis,
+                              final.at_upper, lo, up, c, tol)
 
     return LPResult(
         status=status,
