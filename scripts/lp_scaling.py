@@ -191,8 +191,15 @@ def main():
         out[f"{tag}_shape"] = [m, n2]
         lanes = ([int(v) for v in args.lanes.split(",")] if args.lanes
                  else LANES[tag])
+        from stochasticdecomposition_tpu.ops.simplex import MAX_VMAP_LANES
+
         for batch in lanes:
             for pd, label in ((jnp.float32, "f32"), (None, "f64")):
+                if label == "f64" and batch > MAX_VMAP_LANES:
+                    # f64 Newton-refinement temporaries OOM/fault the
+                    # device at kilo-lane widths and the operating point
+                    # has no user (f64 batches stay <= the lane cap).
+                    continue
                 try:
                     r = measure(pa, spec, x, batch, pd)
                 except Exception as e:   # e.g. f64 HBM OOM at high lanes
