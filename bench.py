@@ -539,6 +539,13 @@ def main():
                 cw = cpu.get(f"{tag}_wall_warm_s")
                 if tw and cw and tw > 0:
                     extras[f"sd_wall_tpu_vs_cpu_{tag}"] = round(cw / tw, 2)
+            # Deep-certified b64: the CPU leg reports the steady rate at
+            # the identical config (a to-stop run there costs hours), so
+            # this ratio is rate-based.
+            tr = tpu.get("pgp2_b64_steady_samples_per_s")
+            cr = cpu.get("pgp2_b64_steady_samples_per_s")
+            if tr and cr and cr > 0:
+                extras["sd_pgp2b64_steady_tpu_vs_cpu"] = round(tr / cr, 2)
         # Storm steady-rate ratio at identical SI=64 f32-pivot configs
         # (VERDICT r3 item 1's wall_storm_tpu_vs_cpu evidence).
         st = extras.get("sd_stormlike_b64", {})

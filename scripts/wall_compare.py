@@ -72,11 +72,36 @@ def run_wall_suite(include_ssn: bool = True, ssn_samples: int = 256,
     s1 = SDSolver(sp, SDConfig(MAX_ITER=520, EVAL_FLAG=False))
     leg("pgp2_b1", s1, time.perf_counter() - t0)
 
-    # batch 64: same sample budget consumed 64 per step.
+    # batch 64, deep CERTIFIED stop: with the reference-faithful per-solve
+    # proximal dynamics (config.QS_RELAX_PER_SAMPLE) certification needs
+    # ~the same number of master solves as batch-1, i.e. ~N*64 samples —
+    # bought at ~40x cheaper samples, so the certified stop is faster in
+    # wall-clock AND better in exact gap than batch-1 (0.00043 vs 0.00196
+    # on device).  Pool capacities follow the dedup'd 27-outcome support,
+    # not the sample count.  The CPU leg cannot afford the ~12k-sample run
+    # inside the bench window, so it reports the STEADY rate at the SAME
+    # config (like the storm leg) and the ratio is rate-based.
     t0 = time.perf_counter()
-    s64 = SDSolver(sp, SDConfig(MAX_ITER=2560, EVAL_FLAG=False,
-                                SAMPLE_INCREMENT=64, CHECK_EVERY=4))
-    leg("pgp2_b64", s64, time.perf_counter() - t0)
+    cfg64 = SDConfig(MAX_ITER=24576, EVAL_FLAG=False, SAMPLE_INCREMENT=64,
+                     CHECK_EVERY=4, MAX_OMEGA=128, MAX_LAMBDA=512,
+                     MAX_SIGMA=512)
+    s64 = SDSolver(sp, cfg64)
+    build64 = time.perf_counter() - t0
+    if jax.default_backend() == "cpu":
+        from bench import bench_sd_rate
+        t0 = time.perf_counter()
+        _, steady, _ = bench_sd_rate(s64, cfg64, n_iter=4)
+        out["pgp2_b64_build_s"] = round(build64, 1)
+        out["pgp2_b64_compile_plus_probe_s"] = round(
+            time.perf_counter() - t0, 1)
+        out["pgp2_b64_steady_samples_per_s"] = round(
+            steady * cfg64.CHECK_EVERY, 2)
+    else:
+        leg("pgp2_b64", s64, build64)
+        from bench import bench_sd_rate
+        _, steady, _ = bench_sd_rate(s64, cfg64, n_iter=4)
+        out["pgp2_b64_steady_samples_per_s"] = round(
+            steady * cfg64.CHECK_EVERY, 2)
 
     if include_ssn:
         from stochasticdecomposition_tpu.models.suite import (

@@ -117,6 +117,25 @@ class SDConfig:
     # still valid within dual-feasibility tolerance — cut, the same
     # tolerance semantics as CPLEX's 1e-6 defaults.  Off by default.
     SUBPROB_F32_PIVOT: bool = False
+    # Batched-mode proximal relaxation semantics: on a non-improving step,
+    # divide quad_scalar by R2 once (False, default: per-master-solve —
+    # the reference's literal rule, soln.c:50-51) or by
+    # R2**SAMPLE_INCREMENT (True: per-sample compounding).  Measured on
+    # device (pgp2like, SI=64, EF optimum 113.3): per-sample certifies at
+    # ~450 samples but the compounding pins quad_scalar high within a few
+    # rejections — the incumbent freezes early and the bootstrap LB's
+    # curvature slack -(q'q)/2sigma collapses, certifying a mediocre
+    # incumbent (exact gap 0.0118; 0.0116 even when MIN_ITER forces 2048
+    # samples).  Per-solve keeps the reference dynamics: certification
+    # needs roughly the same number of MASTER SOLVES as batch-1 (model
+    # convergence is counted in solves, samples in the window), i.e.
+    # ~N_stop*B samples — but batched samples are ~40x cheaper, so the
+    # certified stop is both FASTER in wall-clock and BETTER in quality
+    # than batch-1: 11,776 samples, exact gap 0.00043 (vs batch-1's
+    # 0.00196 at 264), 9.4 s warm on the TPU.  Deep batched runs should
+    # override MAX_OMEGA/MAX_LAMBDA/MAX_SIGMA on finite-support instances
+    # so pool capacity follows the dedup'd support, not the sample count.
+    QS_RELAX_PER_SAMPLE: bool = False
     # dtype for solver-critical state ("float64" strongly recommended).
     DTYPE: str = "float64"
     # Explicit lower bound on E[h(x, omega)] overriding the derived one

@@ -169,15 +169,19 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
         def _shrink(s: SDState) -> SDState:
             # No improvement: strengthen the proximal term (soln.c:50-51).
             # The reference applies /R2 once per iteration == once per
-            # SAMPLE; a batched step covers `batch` samples, so compound
-            # R2 per sample — the quad_scalar trajectory is calibrated in
+            # SAMPLE; with cfg.QS_RELAX_PER_SAMPLE a batched step compounds
+            # R2 per sample so the quad_scalar trajectory is calibrated in
             # samples at any SAMPLE_INCREMENT (without this the proximal
-            # stays ~B-fold too weak, the master bounces between distant
-            # vertices, and the pre-test never fires in batched mode).
+            # stays ~B-fold too weak at small step counts, the master
+            # bounces between distant vertices, and the pre-test never
+            # fires in batched mode); with it off, /R2 applies once per
+            # master solve — the reference's literal rule.  Trade-offs in
+            # config.py QS_RELAX_PER_SAMPLE.
+            relax = cfg.R2 ** batch if cfg.QS_RELAX_PER_SAMPLE else cfg.R2
             return s._replace(
                 quad_scalar=jnp.minimum(
                     jnp.asarray(cfg.MAX_QUAD_SCALAR, dtype),
-                    s.quad_scalar / (cfg.R2 ** batch)),
+                    s.quad_scalar / relax),
                 norm_dk_1=s.norm_dk,
             )
 
