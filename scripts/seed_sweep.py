@@ -43,7 +43,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def sweep(name: str, n_seeds: int, max_iter: int, si: int = 1,
-          min_iter: int = 1, check_every: int = 1):
+          min_iter: int = 1, check_every: int = 1, deep_pools: bool = False):
     from stochasticdecomposition_tpu.config import SDConfig
     from stochasticdecomposition_tpu.models.extensive import (
         enumerate_scenarios, exact_objective_fn, solve_extensive_form,
@@ -56,9 +56,15 @@ def sweep(name: str, n_seeds: int, max_iter: int, si: int = 1,
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     outs, probs = enumerate_scenarios(stoc, sp.rv_order)
     ef_obj, _ = solve_extensive_form(sp, outs, probs)
+    pool_kw = {}
+    if deep_pools:
+        # Deep batched runs on finite-support instances: pool capacity
+        # follows the dedup'd support, not the sample count (the omega
+        # pool only ever holds the distinct outcomes).
+        pool_kw = dict(MAX_OMEGA=128, MAX_LAMBDA=512, MAX_SIGMA=512)
     cfg = SDConfig(MAX_ITER=max_iter, EVAL_FLAG=False,  # nominal preset
                    SAMPLE_INCREMENT=si, MIN_ITER=min_iter,
-                   CHECK_EVERY=check_every)
+                   CHECK_EVERY=check_every, **pool_kw)
     solver = SDSolver(sp, cfg)
     exact = exact_objective_fn(solver.pa, outs, probs)
 
@@ -102,9 +108,13 @@ def main():
                          "of samples is the in-framework cure for "
                          "flat-objective tails (RESULTS.md section 2)")
     ap.add_argument("--check-every", type=int, default=1)
+    ap.add_argument("--deep-pools", action="store_true",
+                    help="cap pools at the dedup'd finite support "
+                         "(MAX_OMEGA=128, MAX_LAMBDA/SIGMA=512) so deep "
+                         "sample budgets stay cheap")
     args = ap.parse_args()
     out = [sweep(n, args.seeds, args.max_iter, args.si, args.min_iter,
-                 args.check_every) for n in args.instances]
+                 args.check_every, args.deep_pools) for n in args.instances]
     print(json.dumps(out), flush=True)
 
 
