@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--check-every", type=int, default=4)
     ap.add_argument("--max-iter", type=int, default=4096)
     ap.add_argument("--metrics-every", type=int, default=256)
+    ap.add_argument("--f32-pivot", action="store_true",
+                    help="SUBPROB_F32_PIVOT (production large-scale mode)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -59,6 +61,7 @@ def main():
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     cfg = SDConfig(MAX_ITER=args.max_iter, EVAL_FLAG=False,
                    SAMPLE_INCREMENT=args.si,
+                   SUBPROB_F32_PIVOT=args.f32_pivot,
                    CHECK_EVERY=args.check_every).apply_tolerance_preset(
                        args.tol)
     t0 = time.perf_counter()
@@ -98,6 +101,7 @@ def main():
         "tol": args.tol,
         "si": args.si,
         "check_every": args.check_every,
+        "f32_pivot": bool(args.f32_pivot),
         "samples_to_stop": r.iterations,
         "stopped_statistically": bool(r.optimal),
         "wall_s": round(wall, 1),

@@ -170,6 +170,14 @@ class SDConfig:
             raise ValueError(
                 f"unknown MASTER_TYPE={self.MASTER_TYPE}; use 0 (LP), "
                 "1 (MILP), 5 (regularized QP) or 7 (MIQP)")
+        if self.SAMPLE_INCREMENT < 1:
+            raise ValueError("SAMPLE_INCREMENT must be >= 1")
+        if self.EVAL_BATCH < 1:
+            raise ValueError("EVAL_BATCH must be >= 1")
+        # Widths above ops/simplex.MAX_VMAP_LANES are legal: every batched
+        # solve_lp dispatch (SD loop, evaluator, meshed eval) chunks via
+        # lax.map at that cap — no config can reach the wide-vmap TPU
+        # miscompilation documented in ops/simplex.py.
         if self.MULTIPLE_REP == 1:
             # A compromise problem needs >1 replication (twoSD.c:248-250).
             self.COMPROMISE_PROB = False
@@ -191,13 +199,18 @@ class SDConfig:
         The reference indexes the pi_ratio window by sample count
         (cuts.c:172 ``pi_ratio[numSamples % SCAN_LEN]``); in batched mode
         one ratio is produced per step of B samples, so the window is
-        ceil(SCAN_LEN / B) steps (>= 2 so the variance is defined) —
-        SCAN_LEN means the same sample history at any B, and batched runs
-        certify at sample counts comparable to batch-1."""
+        ceil(SCAN_LEN / B) steps — SCAN_LEN means the same sample history
+        at any B, and batched runs certify at sample counts comparable to
+        batch-1.  Floored at 8 entries: the variance gate (2e-6 threshold,
+        cuts.c:366 analog) over 2-4 ratios is a statistically weak
+        estimate that can flag stability prematurely at large B; 8
+        entries keeps the pre-test's evidence meaningful (the bootstrap
+        full test still follows either way) at the cost of the window
+        spanning up to 8*B samples."""
         b = max(1, self.SAMPLE_INCREMENT)
         if b == 1:
             return self.SCAN_LEN
-        return max(-(-self.SCAN_LEN // b), 2)
+        return max(-(-self.SCAN_LEN // b), 8)
 
     # Derived capacities -------------------------------------------------
     def max_cuts(self, first_stage_cols: int) -> int:

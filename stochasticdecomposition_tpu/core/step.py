@@ -234,10 +234,17 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
             state = state._replace(last_o_idx=o_idxs[-1])
 
             # Solve all B subproblems at the candidate as one vmapped batch.
+            # vmap_chunked caps the dispatch width at MAX_VMAP_LANES: wider
+            # raw vmaps of solve_lp deterministically miscompile on the TPU
+            # backend (ops/simplex.py), so a user-legal SAMPLE_INCREMENT
+            # above the cap runs as lax.map chunks inside this same jit —
+            # identical results (tests/test_batched_sampling.py) at
+            # identical throughput (the solver saturates well below 512).
+            from stochasticdecomposition_tpu.ops.simplex import vmap_chunked
             ws = state.omega_vals[o_idxs]
-            res_b = jax.vmap(lambda wi: solve_subproblem(
+            res_b = vmap_chunked(lambda wi: solve_subproblem(
                 pa, state.candid_x, wi, init_basis=state.warm_basis,
-                init_at_upper=state.warm_atup, pivot_dtype=sub_pd))(ws)
+                init_at_upper=state.warm_atup, pivot_dtype=sub_pd), ws)
             all_feas = jnp.all(res_b.status == STATUS_OPTIMAL)
             # Refresh the warm basis from the last optimal lane.
             from stochasticdecomposition_tpu.ops.simplex import AT_UPPER

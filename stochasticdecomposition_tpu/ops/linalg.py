@@ -53,7 +53,8 @@ def gj_inv(A: jnp.ndarray) -> jnp.ndarray:
     return gj_solve(A, jnp.eye(n, dtype=A.dtype))
 
 
-def lu_refine_inv(A: jnp.ndarray, steps: int = 3) -> jnp.ndarray:
+def lu_refine_inv(A: jnp.ndarray, steps: int = 3,
+                  resid_tol: float = 1e-6) -> jnp.ndarray:
     """f64 inverse via f32 LU + Newton refinement — the MXU-friendly path.
 
     ``gj_inv`` runs m SEQUENTIAL elimination steps (dominant latency at
@@ -65,13 +66,29 @@ def lu_refine_inv(A: jnp.ndarray, steps: int = 3) -> jnp.ndarray:
     reach r0^8 — full f64 accuracy for the basis conditioning the simplex
     tolerances admit (kappa up to ~1e6).  Cost: 2*steps dense [m, m]
     matmuls, all MXU/parallel work instead of an O(m) sequential chain.
-    A singular input yields non-finite output (as with gj_inv's saturated
-    pivots), which callers already guard.
+
+    Convergence is CERTIFIED, not assumed: for kappa above ~1e7 the f32
+    seed residual can exceed 1 and Newton then diverges — after a fixed
+    step count the result may be finite but WRONG, and downstream
+    consumers (duals, reduced costs, _certify_optimal) would all compute
+    from the same corrupted inverse with no way to notice.  So the final
+    residual ``max|I - A X|`` is measured (one extra matmul) and any
+    result above ``resid_tol`` is poisoned to NaN — the same signal a
+    singular input produces — which every caller already handles
+    (solve_lp demotes warm bases / lanes on non-finite binv).  A
+    correctly refined inverse sits orders of magnitude below the
+    threshold (~1e-12 at kappa 1e6, m=528), so healthy bases are never
+    poisoned.
     """
     dt = A.dtype
+    n = A.shape[0]
     X = jnp.linalg.inv(A.astype(jnp.float32)).astype(dt)
-    I2 = 2.0 * jnp.eye(A.shape[0], dtype=dt)
+    I1 = jnp.eye(n, dtype=dt)
+    I2 = 2.0 * I1
     for _ in range(steps):
         AX = jnp.matmul(A, X, precision=lax.Precision.HIGHEST)
         X = jnp.matmul(X, I2 - AX, precision=lax.Precision.HIGHEST)
-    return X
+    resid = jnp.max(jnp.abs(
+        I1 - jnp.matmul(A, X, precision=lax.Precision.HIGHEST)))
+    ok = jnp.isfinite(resid) & (resid < jnp.asarray(resid_tol, dt))
+    return jnp.where(ok, X, jnp.asarray(jnp.nan, dt))

@@ -63,6 +63,41 @@ STATUS_ITER_LIMIT = 3
 # wider batches with lax.map at this width.
 MAX_VMAP_LANES = 512
 
+
+def vmap_chunked(fn, xs, max_lanes: int | None = None):
+    """``jax.vmap(fn)(xs)`` with the dispatch width capped at ``max_lanes``.
+
+    ``xs`` is a pytree whose leaves share the leading batch axis.  Batches
+    wider than ``max_lanes`` run as ``lax.map`` over padded chunks inside
+    the SAME jitted program — the documented defense against the
+    MAX_VMAP_LANES whole-program miscompilation, at identical throughput
+    (the solver saturates the chip well below the cap).  EVERY code path
+    that vmaps ``solve_lp`` over a user-controlled width must go through
+    this helper (or replicate its chunking): core/step.py's SD subproblem
+    batch, core/evaluate.make_eval_batch, parallel/mesh.make_sharded_eval
+    and the measurement scripts all do.
+    """
+    if max_lanes is None:
+        # Resolved at call time so tests can shrink the cap to exercise
+        # the chunked path on tiny batches.
+        max_lanes = MAX_VMAP_LANES
+    leaves = jax.tree_util.tree_leaves(xs)
+    n = leaves[0].shape[0]
+    if n <= max_lanes:
+        return jax.vmap(fn)(xs)
+    n_chunks = -(-n // max_lanes)
+    pad = n_chunks * max_lanes - n
+
+    def _pad(a):
+        if pad:
+            a = jnp.concatenate([a, a[:pad]])
+        return a.reshape((n_chunks, max_lanes) + a.shape[1:])
+
+    out = lax.map(jax.vmap(fn), jax.tree_util.tree_map(_pad, xs))
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((n_chunks * max_lanes,) + a.shape[2:])[:n], out)
+
+
 _BIG = jnp.inf
 
 

@@ -110,7 +110,27 @@ def make_sharded_eval(pa, spec, batch: int, mesh: Mesh):
             res = solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs)
             return res.obj, res.status == STATUS_OPTIMAL
 
-        objs, ok = jax.vmap(solve_one)(w)
+        # Cap the PER-DEVICE vmap width (ops/simplex.MAX_VMAP_LANES: wider
+        # solve_lp vmaps miscompile on TPU).  The chunk width is
+        # max_lanes * n_shard so each lax.map step still spreads max_lanes
+        # lanes per device; the per-chunk sharding constraint keeps the
+        # observation axis distributed.
+        from stochasticdecomposition_tpu.ops.simplex import MAX_VMAP_LANES
+
+        chunk_w = MAX_VMAP_LANES * n_shard
+        if batch > chunk_w:
+            assert batch % chunk_w == 0, (
+                f"sharded eval batch {batch} must be a multiple of "
+                f"{chunk_w} (MAX_VMAP_LANES x mesh size) to chunk evenly")
+            n_chunks = batch // chunk_w
+            w_c = w.reshape(n_chunks, chunk_w, -1)
+            w_c = jax.lax.with_sharding_constraint(
+                w_c, NamedSharding(mesh, P(None, ("rep", "obs"), None)))
+            objs, ok = jax.lax.map(jax.vmap(solve_one), w_c)
+            objs = objs.reshape(-1)
+            ok = ok.reshape(-1)
+        else:
+            objs, ok = jax.vmap(solve_one)(w)
         objs = jnp.where(ok, objs, 0.0)
         # Same (mean, M2, n_ok) Welford-batch contract as make_eval_batch;
         # the sums below are global (XLA inserts the cross-device psum).

@@ -226,7 +226,7 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None,
                 optimal=optimal, eval_keys=eval_keys,
                 master_fails=master_fails, pools=pools)
 
-        last_ckpt_k = -1
+        last_ckpt_k = 0
         # LP masters stop on MAX_ITER only (optimal.c:104-108; see runner.py).
         from stochasticdecomposition_tpu.config import MASTER_LP, MASTER_MILP
         # MILP inherits the LP-mode MAX_ITER stop (runner.py rationale); the
@@ -315,8 +315,14 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None,
                 snap = np.asarray(snapshot(stacked))
             kmin = int(np.min(snap[0][:len(reps)][~done[:len(reps)]])) \
                 if not done.all() else 0
+            # Elapsed-k trigger, NOT exact modulo: k advances in strides of
+            # SAMPLE_INCREMENT*CHECK_EVERY per dispatch, so kmin only hits
+            # exact multiples of checkpoint_every when the stride divides it
+            # (e.g. stride 256 vs every=1000 would first align at the lcm,
+            # k=32000 — the cadence would silently degrade in exactly the
+            # production batched configs).
             if checkpoint_every and checkpoint_dir and kmin and \
-                    kmin % checkpoint_every == 0 and kmin != last_ckpt_k:
+                    kmin - last_ckpt_k >= checkpoint_every:
                 os.makedirs(checkpoint_dir, exist_ok=True)
                 _save(os.path.join(
                     checkpoint_dir,

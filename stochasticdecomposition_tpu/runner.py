@@ -202,9 +202,16 @@ class SDSolver:
                 state = state._replace(f_updt=jnp.zeros(2, jnp.int32))
         t_setup = time.monotonic() - t0
 
+        # Elapsed-k trigger, NOT exact modulo: with SAMPLE_INCREMENT*
+        # CHECK_EVERY > 1 the observed k values stride past most multiples
+        # of checkpoint_every, so an exact-modulo cadence would silently
+        # skip checkpoints in batched configs (advisor r4).
+        last_ckpt_k = [0]
+
         def _maybe_checkpoint(st, ekey, k):
             if checkpoint_every and checkpoint_dir and \
-                    k % checkpoint_every == 0:
+                    k - last_ckpt_k[0] >= checkpoint_every:
+                last_ckpt_k[0] = k
                 import os
 
                 from stochasticdecomposition_tpu.utils.checkpoint import (

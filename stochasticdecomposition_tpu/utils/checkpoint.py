@@ -54,10 +54,13 @@ def load_checkpoint(path: str, like: SDState) -> Tuple[SDState, dict]:
     for f in SDState._fields:
         ref = getattr(like, f)
         if f not in data:
-            # Field added after this checkpoint was written: keep the fresh
-            # init_state value.
-            kwargs[f] = ref
-            continue
+            # A checkpoint from an older code version with fewer fields
+            # would resume with MIXED restored/fresh state — a silent break
+            # of the bit-identical-resume guarantee.  Fail loudly instead.
+            raise ValueError(
+                f"checkpoint {path} lacks state field {f!r} (written by an "
+                "older code version?); resuming it would silently mix "
+                "restored and fresh state")
         arr = data[f]
         if arr.shape != np.asarray(ref).shape:
             raise ValueError(
@@ -113,8 +116,12 @@ def load_wave_checkpoint(path: str, like_stacked):
     for f in SDState._fields:
         ref = np.asarray(getattr(like_stacked, f))
         if f not in data:
-            kwargs[f] = ref
-            continue
+            # See load_checkpoint: silent fresh-value substitution would
+            # break the bit-identical-resume guarantee without any signal.
+            raise ValueError(
+                f"wave checkpoint {path} lacks state field {f!r} (written "
+                "by an older code version?); resuming it would silently "
+                "mix restored and fresh state")
         arr = data[f]
         if arr.shape != ref.shape:
             raise ValueError(

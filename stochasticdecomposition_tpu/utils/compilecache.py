@@ -12,7 +12,14 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "sd_tpu_jax")
+# Repo-local by default (and committed): the cache is keyed by HLO +
+# compile options, NOT source text, so a fresh checkout gets warm compiles
+# for every program whose traced form is unchanged — this is what lets a
+# driver-day bench run skip the 100-300 s storm-scale compiles that
+# starved stages in rounds 3-4.  ~/.cache would die with the environment.
+_DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".sd_compile_cache")
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str | None:

@@ -159,6 +159,84 @@ def test_batch_pooling_identical_to_sequential_scan(name, batch):
         state0 = st_b
 
 
+def test_vmap_chunked_matches_raw_vmap():
+    """vmap_chunked must be bit-identical to a raw vmap (CPU has no
+    wide-vmap defect, so the raw dispatch is the oracle), including the
+    padded-tail case where the batch is not a multiple of the cap."""
+    import jax
+    import jax.numpy as jnp
+
+    from stochasticdecomposition_tpu.ops.simplex import solve_lp, vmap_chunked
+
+    rng = np.random.default_rng(3)
+    m, n = 6, 10
+    D = jnp.asarray(rng.standard_normal((m, n)))
+    sense = jnp.asarray(rng.integers(-1, 2, m))
+    d = jnp.asarray(rng.standard_normal(n))
+    l = jnp.zeros(n)
+    u = jnp.full(n, 10.0)
+    bs = jnp.asarray(rng.standard_normal((37, m)))  # 37 = 4*8 + 5 padded tail
+
+    fn = lambda b: solve_lp(D, sense, d, l, u, b)   # noqa: E731
+    raw = jax.vmap(fn)(bs)
+    chunked = vmap_chunked(fn, bs, max_lanes=8)
+    for a, b in zip(raw, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sd_step_chunked_batch_identical(monkeypatch):
+    """The SD loop's subproblem batch goes through vmap_chunked (the
+    VERDICT-r4 silent-wrong-answer hole: a raw vmap at SAMPLE_INCREMENT
+    width would miscompile on TPU above MAX_VMAP_LANES).  Shrinking the
+    cap so a batch of 24 runs as 3 chunks must reproduce the unchunked
+    step bit-for-bit."""
+    import jax
+
+    from stochasticdecomposition_tpu.core.state import init_state
+    from stochasticdecomposition_tpu.core.step import make_step
+    from stochasticdecomposition_tpu.ops import simplex as simplex_mod
+
+    core, tim, stoc = load_instance("lands")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    cfg = SDConfig(MAX_ITER=96, EVAL_FLAG=False, SAMPLE_INCREMENT=24)
+    solver = SDSolver(sp, cfg)
+    # Two identical fresh states (solver.step donates its argument).
+    st_raw = init_state(solver.pa, solver.caps, cfg, solver.mean_sol,
+                        jax.random.PRNGKey(5))
+    st_chk = init_state(solver.pa, solver.caps, cfg, solver.mean_sol,
+                        jax.random.PRNGKey(5))
+    for _ in range(3):
+        st_raw = solver.step(st_raw)
+
+    monkeypatch.setattr(simplex_mod, "MAX_VMAP_LANES", 8)
+    step_chunked = make_step(solver.pa, solver.spec, cfg)
+    for _ in range(3):
+        st_chk = step_chunked(st_chk)
+
+    assert int(st_raw.k) == int(st_chk.k) == 72
+    for field in ("candid_x", "incumb_x", "omega_vals", "omega_w",
+                  "sigma_pib", "cut_alpha", "cut_beta", "pi_ratio"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_chk, field)),
+            np.asarray(getattr(st_raw, field)), err_msg=field)
+
+
+@pytest.mark.slow
+def test_sample_increment_1024_runs_chunked():
+    """SI=1024 (above MAX_VMAP_LANES=512) is a legal public config; the
+    step must run it through the lax.map chunked path and keep correct
+    sample bookkeeping — no code path may reach a >512-lane vmapped
+    solve_lp dispatch (VERDICT r4 item 2)."""
+    solver, ef_obj = _setup("lands", MAX_ITER=2048, EVAL_FLAG=False,
+                            SAMPLE_INCREMENT=1024, MAX_OMEGA=128,
+                            MAX_LAMBDA=512, MAX_SIGMA=512)
+    r = solver.solve_replication(0)
+    assert r.iterations in (1024, 2048)
+    ev = solver.evaluate_x(r.incumb_x)
+    excess = (ev.mean - ef_obj) / abs(ef_obj)
+    assert -0.01 < excess < 0.02
+
+
 @pytest.mark.slow
 def test_eval_f32_pivot_statistically_accurate():
     solver, ef_obj = _setup("pgp2like", MAX_ITER=120, EVAL_FLAG=False)

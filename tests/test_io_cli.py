@@ -153,6 +153,59 @@ def test_checkpoint_roundtrip():
 
 
 @pytest.mark.slow
+def test_checkpoint_missing_field_fails_loudly():
+    """A checkpoint lacking an SDState field (older code version) must
+    raise, not silently resume with mixed restored/fresh state (advisor
+    r4 low)."""
+    from stochasticdecomposition_tpu.core.state import init_state
+    from stochasticdecomposition_tpu.models.instances import load_instance
+    from stochasticdecomposition_tpu.prob import decompose
+    from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
+    from stochasticdecomposition_tpu.utils.checkpoint import (
+        load_state, save_state,
+    )
+
+    core, tim, stoc = load_instance("lands")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    cfg = SDConfig(MAX_ITER=40, EVAL_FLAG=False)
+    solver = SDSolver(sp, cfg)
+    state = init_state(solver.pa, solver.caps, cfg, solver.mean_sol,
+                       jax.random.PRNGKey(0))
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt.npz")
+        save_state(path, state)
+        data = dict(np.load(path))
+        del data["quad_scalar"]
+        np.savez_compressed(path, **data)
+        fresh = init_state(solver.pa, solver.caps, cfg, solver.mean_sol,
+                           jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="quad_scalar"):
+            load_state(path, fresh)
+
+
+@pytest.mark.slow
+def test_checkpoint_cadence_batched_stride(tmp_path):
+    """Checkpoints must fire on ELAPSED k, not exact modulo: with
+    SAMPLE_INCREMENT*CHECK_EVERY=32 the observed k never hits a multiple
+    of 100, and the old modulo rule wrote nothing (advisor r4 medium)."""
+    from stochasticdecomposition_tpu.models.instances import load_instance
+    from stochasticdecomposition_tpu.prob import decompose
+    from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
+
+    core, tim, stoc = load_instance("lands")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    cfg = SDConfig(MAX_ITER=320, EVAL_FLAG=False, SAMPLE_INCREMENT=8,
+                   CHECK_EVERY=4, MIN_ITER=400)  # no stat stop before 320
+    solver = SDSolver(sp, cfg)
+    ckdir = str(tmp_path / "ck")
+    solver.solve_replication(0, checkpoint_every=100, checkpoint_dir=ckdir)
+    import glob
+    ckpts = sorted(glob.glob(os.path.join(ckdir, "*.npz")))
+    # k strides 32, 64, ..., 320: elapsed-k trigger fires at 128, 256.
+    assert len(ckpts) >= 2, ckpts
+
+
+@pytest.mark.slow
 def test_sharded_eval_matches_single(monkeypatch):
     import jax.numpy as jnp
 

@@ -252,3 +252,26 @@ def test_lu_refine_inv_singular_nonfinite():
     A = jnp.asarray(np.ones((16, 16)), jnp.float64)
     X = np.asarray(lu_refine_inv(A))
     assert not np.all(np.isfinite(X))
+
+
+def test_lu_refine_inv_divergence_poisoned():
+    """Above kappa ~1e7 the f32 Newton seed residual exceeds 1 and the
+    iteration diverges; after a fixed step count the result can be
+    finite-but-WRONG.  The residual certificate must poison such outputs
+    to NaN (advisor r4 medium: a corrupted-but-finite inverse would feed
+    duals, reduced costs, and _certify_optimal from the same wrong data
+    with no way to notice)."""
+    import numpy as np
+
+    from stochasticdecomposition_tpu.ops.linalg import lu_refine_inv
+
+    rng = np.random.default_rng(4)
+    for m, cond in [(64, 1e9), (256, 1e10)]:
+        u, _ = np.linalg.qr(rng.standard_normal((m, m)))
+        v, _ = np.linalg.qr(rng.standard_normal((m, m)))
+        s = np.logspace(0, np.log10(cond), m)
+        A = jnp.asarray(u @ np.diag(s) @ v, jnp.float64)
+        X = np.asarray(lu_refine_inv(A))
+        # The f32 seed residual is ~kappa*6e-8 >> 1 here, so Newton
+        # diverges and the certificate must have fired.
+        assert not np.all(np.isfinite(X)), (m, cond)
