@@ -139,13 +139,20 @@ def bench_scipy_throughput(solver, n_solve=200):
     return n_solve / dt
 
 
-def bench_sd_rate(solver, cfg, n_iter=40):
-    """Fused-step dispatch rate (steps/s and samples/s) from a fresh state."""
+def bench_sd_rate(solver, cfg, n_iter=40, warmup=3):
+    """Fused-step dispatch rate (steps/s and samples/s) from a fresh state.
+
+    ``warmup`` dispatches run untimed: the first carries the XLA compile,
+    and the next few run with cold pools and a far warm-start basis —
+    on staged-batch configs (SUBPROB_STAGED_BATCH) those trigger the
+    stage-2 straggler finish, which the warm STEADY state does not pay,
+    so timing them would understate the steady rate."""
     from stochasticdecomposition_tpu.core.state import init_state
 
     state = init_state(solver.pa, solver.caps, cfg, solver.mean_sol,
                        jax.random.PRNGKey(3))
-    state = solver.step(state)              # compile
+    for _ in range(max(1, warmup)):         # compile + pool/basis warmup
+        state = solver.step(state)
     jax.block_until_ready(state)
     t0 = time.perf_counter()
     for _ in range(n_iter - 1):
@@ -282,8 +289,10 @@ def _ef_cached(name, sp, outs, probs):
 
 
 def _code_fingerprint():
-    """Hash of the package source + bench config — the parity results are a
-    pure function of (code, config, backend), so this keys their cache."""
+    """Hash of the package source + bench.py itself — the parity results
+    are a pure function of (code, config, backend), so this keys their
+    cache.  bench.py is included because the parity SDConfig lives here:
+    editing the bench config must invalidate the cache (advisor r4)."""
     import hashlib
     import os
 
@@ -296,20 +305,26 @@ def _code_fingerprint():
                 h.update(f.encode())
                 with open(os.path.join(dirpath, f), "rb") as fh:
                     h.update(fh.read())
+    with open(os.path.abspath(__file__), "rb") as fh:
+        h.update(fh.read())
     return h.hexdigest()[:16]
 
 
 def bench_parity():
-    """pgp2like + lands multi-rep + compromise exact parity at nominal
+    """pgp2like + lands single-replication exact parity at nominal
     tolerance.
 
+    ONE replication per instance (VERDICT r4 item 1b: the 3-rep +
+    compromise variant cost 315 s and starved six cheaper stages two
+    rounds running; the 3-rep/compromise gaps are on record in
+    BENCH_r04.json and re-measurable via
+    ``sweep.py``/``SDConfig(MULTIPLE_REP=3, COMPROMISE_PROB=True)``).
     The replication results are DETERMINISTIC given (code, config,
-    backend) — bit-identical across reruns (verified r02 == r03) — so the
-    measured gaps are cached in scripts/parity_cache.json keyed by the
-    package-source fingerprint (VERDICT r3 weak #1: round 3 burned 316 s
-    recomputing numbers identical to round 2 and starved six stages).  On
-    a hit only the cheap solver CONSTRUCTION runs (later stages reuse it);
-    any source change misses and re-measures live."""
+    backend) — bit-identical across reruns (verified r02 == r03) — so
+    the measured gaps are cached in scripts/parity_cache.json keyed by
+    the package+bench source fingerprint.  On a hit only the cheap
+    solver CONSTRUCTION runs (later stages reuse it); any source change
+    misses and re-measures live."""
     import os
 
     from stochasticdecomposition_tpu.config import SDConfig
@@ -324,8 +339,7 @@ def bench_parity():
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     outs, probs = enumerate_scenarios(stoc, sp.rv_order)
     ef_obj = _ef_cached("pgp2like", sp, outs, probs)
-    cfg = SDConfig(MAX_ITER=520, EVAL_FLAG=False, MULTIPLE_REP=3,
-                   COMPROMISE_PROB=True)   # nominal EPSILON/SCAN_LEN
+    cfg = SDConfig(MAX_ITER=520, EVAL_FLAG=False)  # nominal EPSILON/SCAN_LEN
     solver = SDSolver(sp, cfg)
 
     cpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -340,32 +354,25 @@ def bench_parity():
         return {**pcache[ckey], "parity_cached": True, "solver": solver}
 
     t0 = time.perf_counter()
-    res = solver.run()
-    wall = time.perf_counter() - t0
+    r = solver.solve_replication(0)
     exact = make_exact_objective(solver, outs, probs)
-    gaps = [abs(exact(r.incumb_x) - ef_obj) / abs(ef_obj)
-            for r in res.replications]
-    comp = abs(exact(res.compromise_x) - ef_obj) / abs(ef_obj)
+    gap = abs(exact(r.incumb_x) - ef_obj) / abs(ef_obj)
 
-    # lands multi-rep + compromise, same exact measurement.
+    # lands, same exact measurement.
     core, tim, stoc = load_instance("lands")
-    sp = attach_stoc(decompose(core, tim, stoc), stoc)
-    outs_l, probs_l = enumerate_scenarios(stoc, sp.rv_order)
-    ef_l = _ef_cached("lands", sp, outs_l, probs_l)
-    sol_l = SDSolver(sp, SDConfig(MAX_ITER=520, EVAL_FLAG=False,
-                                  MULTIPLE_REP=3, COMPROMISE_PROB=True))
-    res_l = sol_l.run()
+    sp_l = attach_stoc(decompose(core, tim, stoc), stoc)
+    outs_l, probs_l = enumerate_scenarios(stoc, sp_l.rv_order)
+    ef_l = _ef_cached("lands", sp_l, outs_l, probs_l)
+    sol_l = SDSolver(sp_l, SDConfig(MAX_ITER=520, EVAL_FLAG=False))
+    r_l = sol_l.solve_replication(0)
     exact_l = make_exact_objective(sol_l, outs_l, probs_l)
-    gap_l = abs(exact_l(res_l.compromise_x) - ef_l) / abs(ef_l)
-    gaps_l = [abs(exact_l(r.incumb_x) - ef_l) / abs(ef_l)
-              for r in res_l.replications]
+    gap_l = abs(exact_l(r_l.incumb_x) - ef_l) / abs(ef_l)
     payload = {
-        "parity_rep_gaps_pgp2like": [round(g, 6) for g in gaps],
-        "parity_compromise_gap_pgp2like": round(comp, 6),
-        "parity_rep_gaps_lands": [round(g, 6) for g in gaps_l],
-        "parity_compromise_gap_lands": round(gap_l, 6),
-        "parity_iters_to_stop": [r.iterations for r in res.replications],
-        "parity_wall_s": round(wall, 1),
+        "parity_gap_pgp2like": round(gap, 6),
+        "parity_gap_lands": round(gap_l, 6),
+        "parity_iters_to_stop": [r.iterations, r_l.iterations],
+        "parity_stopped": [bool(r.optimal), bool(r_l.optimal)],
+        "parity_wall_s": round(time.perf_counter() - t0, 1),
     }
     pcache[ckey] = payload
     try:
@@ -443,14 +450,36 @@ def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", "860"))
     stage_s = {}
     extras["bench_stage_s"] = stage_s
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(here, "bench_out.json")
 
     def left():
         return budget - (time.perf_counter() - _T_START)
 
-    # The JSON line is the deliverable: emit whatever has been measured so
-    # far if the driver's timeout SIGTERMs us mid-stage.  The handler only
-    # sets a flag-guarded emit: running json/print inside a signal handler
-    # could double-print if SIGTERM lands during the final emit().
+    def flush_out():
+        """Write the FULL results dict to bench_out.json after every stage
+        (crash-safe: the committed file carries whatever completed even if
+        the process is killed mid-stage — VERDICT r4 item 1a: evidence
+        must never depend on stdout capture)."""
+        try:
+            payload = {
+                "device": str(jax.devices()[0]),
+                "budget_s": budget,
+                "elapsed_s": round(time.perf_counter() - _T_START, 1),
+                **{k: v for k, v in extras.items()
+                   if not k.startswith("_")},
+            }
+            with open(out_path + ".tmp", "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+            os.replace(out_path + ".tmp", out_path)
+        except Exception:
+            pass
+
+    # Emit discipline (VERDICT r4 items 1a/3): the LAST stdout line is a
+    # COMPACT (<1.5 KB) headline JSON the driver can always parse; the
+    # full per-stage dict lives in the committed bench_out.json.  Round
+    # 4's full-dict stdout line exceeded the driver's capture and parsed
+    # as null — the compact line + file split makes that impossible.
     emitted = [False]
     join_fn = [lambda t: None]     # bound to _join_cpu once defined below
 
@@ -472,15 +501,36 @@ def main():
                 cpu_proc.kill()
             except Exception:
                 pass
-        payload = {
+        flush_out()
+        compact = {
             "metric": "batched_subproblem_lp_throughput_large",
-            "value": extras.pop("_headline_value", -1.0),
+            "value": extras.get("_headline_value", -1.0),
             "unit": "LP solves/s (80x240 LPs, f32 pivots)",
-            "vs_baseline": extras.pop("_headline_vs", -1.0),
+            "vs_baseline": extras.get("_headline_vs", -1.0),
             "device": str(jax.devices()[0]),
-            **extras,
+            "full_results": "bench_out.json",
+            "parity_gap_pgp2like": extras.get("parity_gap_pgp2like"),
+            "parity_gap_lands": extras.get("parity_gap_lands"),
+            "pallas_argmax_device_match": extras.get(
+                "pallas_argmax_device_match"),
+            "sd_storm_steady_tpu_vs_cpu": extras.get(
+                "sd_storm_steady_tpu_vs_cpu"),
+            "storm_b64_stopped": extras.get("sd_stormlike_b64", {}).get(
+                "stopped_statistically"),
+            "ssn_stopped": extras.get("sd_ssnlike", {}).get(
+                "stopped_statistically"),
+            "t20_stopped": extras.get("sd_20termlike_b64", {}).get(
+                "stopped_statistically"),
+            "cpu_loadavg": extras.get("wall_cpu", {}).get("loadavg"),
+            "stages_skipped": sorted(
+                k[len("skipped_"):] for k in extras
+                if k.startswith("skipped_")),
+            "stages_errored": sorted(
+                k[len("error_"):] for k in extras
+                if k.startswith("error_")),
+            "stage_s": stage_s,
         }
-        print(json.dumps(payload), flush=True)
+        print(json.dumps(compact), flush=True)
         if rc is not None:
             os._exit(rc)
 
@@ -492,6 +542,7 @@ def main():
         """Run one budgeted stage; record wall time; never die."""
         if left() < need_s:
             extras[f"skipped_{name}"] = f"budget ({left():.0f}s left)"
+            flush_out()
             return False
         t0 = time.perf_counter()
         try:
@@ -503,20 +554,20 @@ def main():
         finally:
             stage_s[name] = round(time.perf_counter() - t0, 1)
             _prog(f"{name} done ({stage_s[name]}s)")
+            flush_out()
 
     # ---- 0. CPU end-to-end leg as a concurrent subprocess ---------------
     # The TPU-vs-CPU wall-clock comparison needs the SAME SD code run on
     # the CPU backend; that leg uses no device, so it runs alongside the
     # TPU stages and is joined UNCONDITIONALLY before emit (VERDICT r3
-    # item 2: round 3 discarded an already-finished CPU leg at a
-    # budget-gated join).  Legs: pgp2 b1 + b64 to the stop, storm SI=64
-    # f32-pivot steady rate (--storm replaces the ssn leg: storm is the
-    # scale the ratio question is about).
+    # item 2).  Legs: pgp2 b1 to the stop + b64 steady, storm SI=64
+    # f32-pivot steady rate (best-of-3 probes + loadavg: VERDICT r4
+    # item 8), plus the sequential-HiGHS storm yardstick (host-only work
+    # that used to burn TPU-stage budget).
     import subprocess
-    here = os.path.dirname(os.path.abspath(__file__))
     cpu_proc = subprocess.Popen(
         [sys.executable, os.path.join(here, "scripts", "wall_compare.py"),
-         "--cpu", "--no-ssn", "--storm"],
+         "--cpu", "--no-ssn", "--storm", "--yardstick"],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, cwd=here,
         text=True)
 
@@ -540,112 +591,33 @@ def main():
                 if tw and cw and tw > 0:
                     extras[f"sd_wall_tpu_vs_cpu_{tag}"] = round(cw / tw, 2)
             # Deep-certified b64: the CPU leg reports the steady rate at
-            # the identical config (a to-stop run there costs hours), so
-            # this ratio is rate-based.
+            # the identical config (a to-stop run there is minutes, not
+            # seconds), so this ratio is rate-based.
             tr = tpu.get("pgp2_b64_steady_samples_per_s")
             cr = cpu.get("pgp2_b64_steady_samples_per_s")
             if tr and cr and cr > 0:
                 extras["sd_pgp2b64_steady_tpu_vs_cpu"] = round(tr / cr, 2)
-        # Storm steady-rate ratio at identical SI=64 f32-pivot configs
-        # (VERDICT r3 item 1's wall_storm_tpu_vs_cpu evidence).
+        # Storm steady-rate ratio at identical SI=64 f32-pivot configs.
+        # The CPU number is the BEST of 3 probes (load-robust denominator,
+        # VERDICT r4 item 8) so the reported ratio is conservative.
         st = extras.get("sd_stormlike_b64", {})
         tr = st.get("samples_per_s_steady")
         cr = cpu.get("storm_si64_steady_samples_per_s")
         if tr and cr and cr > 0:
             extras["sd_storm_steady_tpu_vs_cpu"] = round(tr / cr, 2)
+        yd = cpu.get("storm_lp_cpu_per_s")
+        if yd:
+            extras["storm_lp_cpu_per_s"] = yd
+            extras["storm_lp_cpu_mean_obj"] = cpu.get("storm_lp_cpu_mean_obj")
 
     join_fn[0] = _join_cpu
 
-    # ---- 1. storm scale TO THE STATISTICAL STOP (cannot be starved) -----
-    # Runs FIRST.  Loose tolerance, f32 pivot loops (SUBPROB_F32_PIVOT —
-    # the production large-scale mode, VERDICT r3 item 1), SI=8 and the
-    # flagship SI=64.
-    def _storm():
-        # Identical config to `scripts/suite_to_stop.py stormlike --tol l
-        # --max-iter 1024 --f32-pivot` so both share one persistent-cache
-        # entry.  The statistical stop fires well under the 1024-sample
-        # cap on this instance.
-        extras["sd_stormlike"] = bench_suite_sd(
-            "stormlike", 1024, sample_increment=8, tol="l", check_every=4,
-            f32_pivot=True)
+    # Stage order (VERDICT r4 item 1b): cheap evidential stages FIRST,
+    # budgeted as if every cache is cold (on judging day they are); the
+    # expensive storm stage runs LAST so an overrun starves nothing else.
 
-    stage("suite_stormlike_stop", _storm)
-
-    def _storm_b64():
-        # Same config as wall_compare's --storm leg (shared cache entry).
-        extras["sd_stormlike_b64"] = bench_suite_sd(
-            "stormlike", 1024, sample_increment=64, tol="l", check_every=4,
-            f32_pivot=True)
-
-    stage("suite_stormlike_b64", _storm_b64, need_s=160)
-
-    # ---- 1b. storm-subproblem CPU yardstick (host-only, cheap) ----------
-    # Sequential scipy/HiGHS on the ACTUAL storm subproblems (528x1259) —
-    # the reference's per-iteration CPLEX solve role (subprob.c:43-45),
-    # quantifying single-core LP economics at the scale that matters.
-    def _storm_yardstick():
-        sys.path.insert(0, os.path.join(here, "scripts"))
-        from lp_scaling import build, cpu_yardstick
-        pa_s, spec_s, x_s = build("stormlike")
-        y = cpu_yardstick(pa_s, spec_s, x_s, n_solve=12)
-        extras["storm_lp_cpu_per_s"] = y["lp_per_s"]
-        extras["storm_lp_cpu_mean_obj"] = y["mean_obj"]
-
-    stage("storm_lp_cpu_yardstick", _storm_yardstick, need_s=45)
-
-    # ---- 2. mid-scale synthetic (ssn-class): batched LP throughput ------
-    # This is the headline metric (the axis the reference spends its time
-    # on: evaluate.c's thousands of sequential CPLEX solves).
-    class _Shim:
-        pass
-
-    def _big_lp():
-        core2, tim2, stoc2 = parse_synthetic(seed=7, n1=20, m1=3, n2=160,
-                                             m2=80, n_rv=12, support=5)
-        sp2 = attach_stoc(decompose(core2, tim2, stoc2), stoc2)
-        from stochasticdecomposition_tpu.core.state import stage_problem
-        from stochasticdecomposition_tpu.sampler import build_sampler
-
-        solver2 = _Shim()
-        solver2.pa = stage_problem(sp2)
-        solver2.spec = build_sampler(stoc2, sp2.rv_order)
-        solver2.mean_sol = np.full(20, 2.0)
-        big_rate_f32, big_mean_f32 = bench_eval_throughput(
-            solver2, 256, rounds=2, pivot_dtype=jnp.float32)
-        big_cpu_rate = bench_scipy_throughput(solver2, n_solve=20)
-        big_mean_cpu = scipy_mean_obj(solver2, n_solve=20)
-        extras["_headline_value"] = round(big_rate_f32, 2)
-        extras["_headline_vs"] = round(big_rate_f32 / big_cpu_rate, 3)
-        extras["large_cpu_scipy_lp_per_s"] = round(big_cpu_rate, 2)
-        extras["large_f32_vs_cpu_obj_relerr"] = round(
-            abs(big_mean_f32 - big_mean_cpu) / max(abs(big_mean_cpu), 1), 6)
-        # Device FLOP/s at the same LP shape (VERDICT r2 item 2).
-        extras.update(bench_utilization(solver2, batch=256, rounds=4))
-
-    stage("big_lp_throughput", _big_lp, need_s=60)
-
-    # ---- 3. parity (exact, by scenario enumeration) — the core claim ----
-    box = {}
-
-    def _parity():
-        par = bench_parity()
-        box["solver"] = par.pop("solver")
-        extras.update(par)
-
-    stage("parity", _parity)
-    solver = box.get("solver")
-    if solver is None:                       # parity failed: rebuild pgp2like
-        core, tim, stoc = load_instance("pgp2like")
-        sp = attach_stoc(decompose(core, tim, stoc), stoc)
-        solver = SDSolver(sp, SDConfig(MAX_ITER=64, EVAL_FLAG=False))
-
-    # ---- 5. on-device Pallas self-check ----------------------------------
-    # The triple-argmax kernel's CPU tests run in interpret mode; this
-    # exercises real Mosaic lowering (both whole-VMEM and DMA-streamed
-    # paths, odd pool sizes included) and compares against the XLA fallback.
-    # The whole comparison is ONE jitted program per shape: on the
-    # remote-compile backend each eager op is its own compile+RPC, so an
-    # unjitted check costs minutes instead of seconds.
+    # ---- 1. on-device Pallas self-check (cheap; aged out of the driver
+    # artifact in r3-r4 when it ran late — now it can never be starved).
     def _pallas_check():
         from stochasticdecomposition_tpu.ops.pallas_argmax import (
             triple_masked_argmax, triple_masked_argmax_xla,
@@ -673,19 +645,87 @@ def main():
         # HBM bandwidth of the DMA-stream path (VERDICT r2 item 2).
         extras.update(bench_argmax_bandwidth())
 
-    stage("pallas_check", _pallas_check, need_s=45)
+    stage("pallas_check", _pallas_check)
 
-    # ---- 4. end-to-end wall: TPU leg (the BASELINE.md north-star rows;
-    # runs before the cheap stages so the budget cannot starve it) --------
+    # ---- 2. mid-scale synthetic (ssn-class): batched LP throughput ------
+    # The headline metric (the axis the reference spends its time on:
+    # evaluate.c's thousands of sequential CPLEX solves).
+    class _Shim:
+        pass
+
+    def _big_lp():
+        core2, tim2, stoc2 = parse_synthetic(seed=7, n1=20, m1=3, n2=160,
+                                             m2=80, n_rv=12, support=5)
+        sp2 = attach_stoc(decompose(core2, tim2, stoc2), stoc2)
+        from stochasticdecomposition_tpu.core.state import stage_problem
+        from stochasticdecomposition_tpu.sampler import build_sampler
+
+        solver2 = _Shim()
+        solver2.pa = stage_problem(sp2)
+        solver2.spec = build_sampler(stoc2, sp2.rv_order)
+        solver2.mean_sol = np.full(20, 2.0)
+        big_rate_f32, big_mean_f32 = bench_eval_throughput(
+            solver2, 256, rounds=2, pivot_dtype=jnp.float32)
+        big_cpu_rate = bench_scipy_throughput(solver2, n_solve=20)
+        big_mean_cpu = scipy_mean_obj(solver2, n_solve=20)
+        extras["_headline_value"] = round(big_rate_f32, 2)
+        extras["_headline_vs"] = round(big_rate_f32 / big_cpu_rate, 3)
+        extras["large_cpu_scipy_lp_per_s"] = round(big_cpu_rate, 2)
+        extras["large_f32_vs_cpu_obj_relerr"] = round(
+            abs(big_mean_f32 - big_mean_cpu) / max(abs(big_mean_cpu), 1), 6)
+        # Device FLOP/s at the same LP shape (VERDICT r2 item 2).
+        extras.update(bench_utilization(solver2, batch=256, rounds=4))
+
+    stage("big_lp_throughput", _big_lp, need_s=45)
+
+    # ---- 3. parity (exact, by scenario enumeration) — the core claim ----
+    box = {}
+
+    def _parity():
+        par = bench_parity()
+        box["solver"] = par.pop("solver")
+        extras.update(par)
+
+    stage("parity", _parity, need_s=60)
+    solver = box.get("solver")
+    if solver is None:                       # parity failed: rebuild pgp2like
+        core, tim, stoc = load_instance("pgp2like")
+        sp = attach_stoc(decompose(core, tim, stoc), stoc)
+        solver = SDSolver(sp, SDConfig(MAX_ITER=64, EVAL_FLAG=False))
+
+    # ---- 4. end-to-end wall: TPU leg (BASELINE.md north-star rows + the
+    # flagship deep-certified-stop wall table).  The pgp2_b1 leg shares
+    # the parity stage's compiled program (identical config) and the
+    # pgp2_b64 leg's program is reused by sd_rates below, so the stage
+    # mostly pays run time, not compile time.
     def _wall_tpu():
         sys.path.insert(0, os.path.join(here, "scripts"))
         from wall_compare import run_wall_suite
-        tpu = run_wall_suite(include_ssn=left() > 150)
+        tpu = run_wall_suite(include_ssn=False)
         extras["wall_tpu"] = tpu
 
-    stage("wall_tpu", _wall_tpu, need_s=120)
+    stage("wall_tpu", _wall_tpu, need_s=90)
 
-    # ---- 5. small-LP throughput vs sequential HiGHS ----------------------
+    # ---- 5. SD step rate: sequential vs batched sampling ----------------
+    def _sd_rates():
+        # Batch-1 rate on the PARITY solver: its step is already compiled.
+        steps1, samples1, _ = bench_sd_rate(solver, solver.cfg, n_iter=40)
+        extras["sd_iters_per_s"] = round(steps1, 2)
+        extras["sd_samples_per_s_batch1"] = round(samples1, 2)
+        # Batched sampling at the flagship deep config (identical to
+        # wall_compare's cfg64 — shared compile-cache entry).
+        cfg64 = SDConfig(MAX_ITER=24576, EVAL_FLAG=False,
+                         SAMPLE_INCREMENT=64, CHECK_EVERY=4,
+                         MAX_OMEGA=128, MAX_LAMBDA=512, MAX_SIGMA=512)
+        s64 = SDSolver(solver.sp, cfg64)
+        steps64, samples64, _ = bench_sd_rate(s64, cfg64, n_iter=8)
+        samples64 *= cfg64.CHECK_EVERY       # bench_sd_rate counts dispatches
+        extras["sd_samples_per_s_batch64"] = round(samples64, 2)
+        extras["sd_batch64_speedup"] = round(samples64 / samples1, 2)
+
+    stage("sd_rates", _sd_rates, need_s=60)
+
+    # ---- 6. small-LP throughput vs sequential HiGHS ---------------------
     def _small_lp():
         batch = 512
         tpu_rate, _ = bench_eval_throughput(solver, batch)
@@ -697,48 +737,41 @@ def main():
         extras["small_cpu_scipy_lp_per_s"] = round(cpu_rate, 2)
         extras["small_vs_baseline"] = round(tpu_rate / cpu_rate, 3)
 
-    stage("small_lp_throughput", _small_lp, need_s=60)
+    stage("small_lp_throughput", _small_lp, need_s=45)
 
-    # ---- 4. SD step rate: sequential vs batched sampling -----------------
-    def _sd_rates():
-        # Batch-1 rate on the PARITY solver: its step is already compiled
-        # (a fresh SDSolver would recompile the whole program).
-        steps1, samples1, _ = bench_sd_rate(solver, solver.cfg, n_iter=40)
-        extras["sd_iters_per_s"] = round(steps1, 2)
-        extras["sd_samples_per_s_batch1"] = round(samples1, 2)
-        # Batched sampling: 64 fresh observations per step.  CHECK_EVERY=4
-        # scans 4 steps per dispatch — the production setting on a
-        # remote-tunnel device where each dispatch is an RPC.
-        cfg64 = SDConfig(MAX_ITER=2560, EVAL_FLAG=False, SAMPLE_INCREMENT=64,
-                         CHECK_EVERY=4)
-        s64 = SDSolver(solver.sp, cfg64)
-        steps64, samples64, _ = bench_sd_rate(s64, cfg64, n_iter=8)
-        samples64 *= cfg64.CHECK_EVERY       # bench_sd_rate counts dispatches
-        extras["sd_samples_per_s_batch64"] = round(samples64, 2)
-        extras["sd_batch64_speedup"] = round(samples64 / samples1, 2)
-
-    stage("sd_rates", _sd_rates, need_s=90)
-
-
-    # ---- 7. suite scale: 20term to the stop, ssn throughput probe -------
+    # ---- 7. suite scale TO THE STATISTICAL STOP -------------------------
+    # 20termlike at the flagship SI=64 (VERDICT r4 item 4) and ssnlike —
+    # the suite's sequential-sampling stress case — to its certified stop.
     def _20term():
-        # Same config as `scripts/suite_to_stop.py 20termlike --tol l
-        # --max-iter 1024` (shared cache entry; stops at ~160 samples).
-        extras["sd_20termlike"] = bench_suite_sd(
-            "20termlike", 1024, sample_increment=8, tol="l", check_every=4)
+        extras["sd_20termlike_b64"] = bench_suite_sd(
+            "20termlike", 2048, sample_increment=64, tol="l", check_every=4)
 
-    stage("suite_20termlike_stop", _20term, need_s=120)
+    stage("suite_20termlike_stop", _20term, need_s=110)
 
     def _ssn():
-        extras["sd_ssnlike"] = bench_suite_sd("ssnlike", 64,
-                                              sample_increment=8)
+        # Same config as `scripts/suite_to_stop.py ssnlike --tol l --si 64
+        # --f32-pivot --max-iter 4096` (shared compile-cache entry).
+        extras["sd_ssnlike"] = bench_suite_sd(
+            "ssnlike", 4096, sample_increment=64, tol="l", check_every=4,
+            f32_pivot=True)
 
-    stage("suite_ssnlike", _ssn, need_s=120)
+    stage("suite_ssnlike", _ssn, need_s=130)
 
-    # ---- 8. join the CPU leg and form the wall ratios -------------------
-    # _join_cpu is defined next to the subprocess launch and ALSO runs from
-    # emit(), so a budget overrun can no longer discard a finished CPU leg
-    # (r3's evidence loss).
+    # ---- 8. storm scale b64 TO THE STATISTICAL STOP (most expensive;
+    # LAST so an overrun cannot starve anything) --------------------------
+    def _storm_b64():
+        # Same config as wall_compare's --storm leg and
+        # `scripts/suite_to_stop.py stormlike --tol l --si 64
+        # --check-every 4 --f32-pivot` (shared compile-cache entry).
+        extras["sd_stormlike_b64"] = bench_suite_sd(
+            "stormlike", 1024, sample_increment=64, tol="l", check_every=4,
+            f32_pivot=True)
+
+    stage("suite_stormlike_b64", _storm_b64, need_s=150)
+
+    # ---- 9. join the CPU leg and form the wall ratios -------------------
+    # _join_cpu ALSO runs from emit(), so a budget overrun can no longer
+    # discard a finished CPU leg (r3's evidence loss).
     stage("wall_cpu_join", lambda: _join_cpu(max(10.0, left() - 15)))
 
     emit()

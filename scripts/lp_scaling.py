@@ -84,7 +84,8 @@ def rhs_batch(pa, spec, x, key, batch):
     return rhs
 
 
-def measure(pa, spec, x, batch, pivot_dtype, rounds=3, lite=True):
+def measure(pa, spec, x, batch, pivot_dtype, rounds=3, lite=True,
+            refac_every=64):
     from jax import lax
 
     from stochasticdecomposition_tpu.ops.simplex import (
@@ -104,7 +105,8 @@ def measure(pa, spec, x, batch, pivot_dtype, rounds=3, lite=True):
         def chunk(rb):
             res = jax.vmap(lambda b: solve_lp(
                 pa.D, pa.sense2, pa.d_bar, pa.l2, pa.u2, b,
-                pivot_dtype=pivot_dtype, lite=lite))(rb)
+                pivot_dtype=pivot_dtype, lite=lite,
+                refac_every=refac_every))(rb)
             return res.iters, res.status, res.obj
 
         if batch > lanes:
@@ -124,7 +126,7 @@ def measure(pa, spec, x, batch, pivot_dtype, rounds=3, lite=True):
     wall = time.perf_counter() - t0
     iters = np.asarray(iters)
     ok = float(np.mean(np.asarray(status) == 0))
-    chunk = max(8, min(64, m))
+    chunk = max(8, min(refac_every, m))
     n_chunks = int(np.ceil(iters.max() / chunk))
     flops_pivot = 4 * m * nt + 7 * m * m
     flops_lane = n_chunks * (chunk * flops_pivot + 2 * m ** 3 + 4 * m * m)
@@ -177,6 +179,15 @@ def main():
     ap.add_argument("--shapes", default="ssn,storm")
     ap.add_argument("--lanes", default="")
     ap.add_argument("--skip-yardstick", action="store_true")
+    ap.add_argument("--f32-only", action="store_true",
+                    help="skip the f64 operating points (the f64 64-lane "
+                         "storm cold-start probes sit in the kernel-fault "
+                         "regime, RESULTS 4b.2)")
+    ap.add_argument("--refac-sweep", default="",
+                    help="comma list of refac_every values: sweep the "
+                         "refactorization cadence at each (shape, first "
+                         "lane count, f32) operating point — the per-solve "
+                         "latency lever (VERDICT r4 item 6)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -195,6 +206,8 @@ def main():
 
         for batch in lanes:
             for pd, label in ((jnp.float32, "f32"), (None, "f64")):
+                if label == "f64" and args.f32_only:
+                    continue
                 if label == "f64" and batch > MAX_VMAP_LANES:
                     # f64 Newton-refinement temporaries OOM/fault the
                     # device at kilo-lane widths and the operating point
@@ -206,6 +219,16 @@ def main():
                     r = {"error": str(e)[:160]}
                 out[f"{tag}_b{batch}_{label}"] = r
                 print(f"[{tag} b={batch} {label}] {r}", file=sys.stderr,
+                      flush=True)
+        if args.refac_sweep:
+            b0 = lanes[0]
+            for rf in (int(v) for v in args.refac_sweep.split(",")):
+                try:
+                    r = measure(pa, spec, x, b0, jnp.float32, refac_every=rf)
+                except Exception as e:
+                    r = {"error": str(e)[:160]}
+                out[f"{tag}_b{b0}_f32_refac{rf}"] = r
+                print(f"[{tag} b={b0} f32 refac={rf}] {r}", file=sys.stderr,
                       flush=True)
         if not args.skip_yardstick:
             y = cpu_yardstick(pa, spec, x)

@@ -36,15 +36,40 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+def _loadavg():
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
+def _steady_best_of(solver, cfg, probes=3, n_iter=4, warmup=3):
+    """Best-of-N steady-rate probes (VERDICT r4 item 8: the CPU leg's
+    single probe swung 4.3x with host load between runs on identical
+    code; the best probe is the least-load-polluted estimate and makes
+    the reported TPU-vs-CPU ratio conservative).  Returns
+    (best_samples_per_s, all_probes)."""
+    from bench import bench_sd_rate
+
+    rates = []
+    for _ in range(probes):
+        _, steady, _ = bench_sd_rate(solver, cfg, n_iter=n_iter,
+                                     warmup=warmup)
+        rates.append(round(steady * max(1, cfg.CHECK_EVERY), 2))
+    return max(rates), rates
+
+
 def run_wall_suite(include_ssn: bool = True, ssn_samples: int = 256,
-                   include_storm: bool = False):
+                   include_storm: bool = False,
+                   include_yardstick: bool = False):
     from stochasticdecomposition_tpu.config import SDConfig
     from stochasticdecomposition_tpu.models.instances import load_instance
     from stochasticdecomposition_tpu.prob import decompose
     from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
 
     out = {"backend": jax.default_backend(),
-           "device": str(jax.devices()[0])}
+           "device": str(jax.devices()[0]),
+           "loadavg": _loadavg()}
 
     core, tim, stoc = load_instance("pgp2like")
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
@@ -88,20 +113,18 @@ def run_wall_suite(include_ssn: bool = True, ssn_samples: int = 256,
     s64 = SDSolver(sp, cfg64)
     build64 = time.perf_counter() - t0
     if jax.default_backend() == "cpu":
-        from bench import bench_sd_rate
         t0 = time.perf_counter()
-        _, steady, _ = bench_sd_rate(s64, cfg64, n_iter=4)
+        best, probes = _steady_best_of(s64, cfg64)
         out["pgp2_b64_build_s"] = round(build64, 1)
         out["pgp2_b64_compile_plus_probe_s"] = round(
             time.perf_counter() - t0, 1)
-        out["pgp2_b64_steady_samples_per_s"] = round(
-            steady * cfg64.CHECK_EVERY, 2)
+        out["pgp2_b64_steady_samples_per_s"] = best
+        out["pgp2_b64_steady_probes"] = probes
     else:
         leg("pgp2_b64", s64, build64)
-        from bench import bench_sd_rate
-        _, steady, _ = bench_sd_rate(s64, cfg64, n_iter=4)
-        out["pgp2_b64_steady_samples_per_s"] = round(
-            steady * cfg64.CHECK_EVERY, 2)
+        best, probes = _steady_best_of(s64, cfg64)
+        out["pgp2_b64_steady_samples_per_s"] = best
+        out["pgp2_b64_steady_probes"] = probes
 
     if include_ssn:
         from stochasticdecomposition_tpu.models.suite import (
@@ -122,7 +145,6 @@ def run_wall_suite(include_ssn: bool = True, ssn_samples: int = 256,
         # fixed-sample run (compile included in *_build_s) plus the
         # steady-state dispatch rate on the compiled step — the honest
         # rate ratio at identical configs.
-        from bench import bench_sd_rate
         from stochasticdecomposition_tpu.models.suite import (
             load_suite_instance,
         )
@@ -135,17 +157,39 @@ def run_wall_suite(include_ssn: bool = True, ssn_samples: int = 256,
         sst = SDSolver(spst, cfgst)
         out["storm_si64_build_s"] = round(time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
-        _, steady, _ = bench_sd_rate(sst, cfgst, n_iter=4)
+        # A CPU-backend storm dispatch is ~40 s (256 samples at a few
+        # samples/s), so the CPU leg keeps probes short: 1 warmup + 1
+        # timed dispatch per probe, best of 3.
+        if jax.default_backend() == "cpu":
+            best, probes = _steady_best_of(sst, cfgst, n_iter=2, warmup=1)
+        else:
+            best, probes = _steady_best_of(sst, cfgst)
         out["storm_si64_compile_plus_probe_s"] = round(
             time.perf_counter() - t0, 1)
-        out["storm_si64_steady_samples_per_s"] = round(
-            steady * cfgst.CHECK_EVERY, 2)
+        out["storm_si64_steady_samples_per_s"] = best
+        out["storm_si64_steady_probes"] = probes
+
+    if include_yardstick:
+        # Sequential scipy/HiGHS on the ACTUAL storm subproblems
+        # (528x1259) — the reference's per-iteration CPLEX solve role
+        # (subprob.c:43-45).  Host-only work: it lives in this (CPU)
+        # subprocess so it no longer burns TPU-stage budget in bench.py.
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from lp_scaling import build, cpu_yardstick
+        pa_s, spec_s, x_s = build("stormlike")
+        y = cpu_yardstick(pa_s, spec_s, x_s, n_solve=12)
+        out["storm_lp_cpu_per_s"] = y["lp_per_s"]
+        out["storm_lp_cpu_mean_obj"] = y["mean_obj"]
+
+    out["loadavg_end"] = _loadavg()
     return out
 
 
 if __name__ == "__main__":
     include_ssn = "--no-ssn" not in sys.argv
     include_storm = "--storm" in sys.argv
+    include_yard = "--yardstick" in sys.argv
     print(json.dumps(run_wall_suite(include_ssn=include_ssn,
-                                    include_storm=include_storm)),
+                                    include_storm=include_storm,
+                                    include_yardstick=include_yard)),
           flush=True)

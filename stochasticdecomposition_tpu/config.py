@@ -136,6 +136,15 @@ class SDConfig:
     # override MAX_OMEGA/MAX_LAMBDA/MAX_SIGMA on finite-support instances
     # so pool capacity follows the dedup'd support, not the sample count.
     QS_RELAX_PER_SAMPLE: bool = False
+    # Kernel-fault guard for the batched subproblem solve (RESULTS
+    # §4b.2: cold/far-warm-start storm-shape solve programs at >=64
+    # lanes with thousands of pivots crash the TPU worker).  None (auto)
+    # enables the two-stage solve — full-width bounded-pivot stage 1,
+    # then an 8-lane chunked finish with the full budget — when the
+    # subproblem has >=384 rows and SAMPLE_INCREMENT > 8; True/False
+    # force it.  Replaces the round-4 folklore rule "hv-class instances
+    # run SI<=8" with a guard (core/step.py _staged_batch).
+    SUBPROB_STAGED_BATCH: bool | None = None
     # dtype for solver-critical state ("float64" strongly recommended).
     DTYPE: str = "float64"
     # Explicit lower bound on E[h(x, omega)] overriding the derived one
@@ -235,7 +244,8 @@ _FLOAT_KEYS = {
     "PERCENT_PASS", "EVAL_ERROR", "PRE_EPSILON", "EPSILON",
     "MEMORY_BUDGET_GB",
 }
-_BOOL_KEYS = {"EVAL_FLAG", "DUAL_STABILITY", "COMPROMISE_PROB"}
+_BOOL_KEYS = {"EVAL_FLAG", "DUAL_STABILITY", "COMPROMISE_PROB",
+              "SUBPROB_STAGED_BATCH"}
 
 
 def load_config(path: str | Path) -> SDConfig:

@@ -35,6 +35,28 @@ from stochasticdecomposition_tpu.core.update import (
 from stochasticdecomposition_tpu.ops.simplex import STATUS_OPTIMAL
 from stochasticdecomposition_tpu.sampler import SamplerSpec, sample_omega
 
+# Staged batched-solve parameters (kernel-fault guard, RESULTS §4b.2).
+# Stage 1's pivot budget sits above the steady-state pivot tail (a 1024
+# budget still tripped stage 2 often enough to cost 14% steady rate on
+# stormlike SI=64 — measured A/B r5) but below the fault regime:
+# stormlike's own r4 driver runs executed ~5300-pivot x 64-lane f32
+# programs repeatedly without faulting, while the crashes (stormhvlike,
+# f64 probes) sat near the ~7200-pivot iteration cap.  Stage 2 finishes
+# at a lane width proven safe for 5000+ pivot solves (f64 8-lane storm
+# probes).
+STAGE1_PIVOTS = 2048
+STAGE2_LANES = 8
+
+
+def _staged_batch(pa: ProblemArrays, cfg: SDConfig) -> bool:
+    """Whether the batched subproblem solve runs the two-stage fault
+    guard.  Auto (None): on for storm-class row counts at batch widths
+    above the safe stage-2 lane width."""
+    if cfg.SUBPROB_STAGED_BATCH is not None:
+        return bool(cfg.SUBPROB_STAGED_BATCH)
+    m = int(pa.D.shape[0])
+    return m >= 384 and int(cfg.SAMPLE_INCREMENT) > STAGE2_LANES
+
 
 def make_substeps(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig):
     """Jitted sub-pieces used by the host feasibility-mode loop
@@ -188,6 +210,7 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
         return lax.cond(improved, _replace, _shrink, state)
 
     batch = max(1, int(cfg.SAMPLE_INCREMENT))
+    staged = _staged_batch(pa, cfg)
     # One pi_ratio entry is written per *step*; the window is
     # ceil(SCAN_LEN/batch) steps so it spans SCAN_LEN SAMPLES at any batch
     # (cuts.c:172 indexes the window by numSamples — certification is
@@ -240,22 +263,88 @@ def make_step(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig,
             # above the cap runs as lax.map chunks inside this same jit —
             # identical results (tests/test_batched_sampling.py) at
             # identical throughput (the solver saturates well below 512).
-            from stochasticdecomposition_tpu.ops.simplex import vmap_chunked
+            from stochasticdecomposition_tpu.ops.simplex import (
+                AT_UPPER, vmap_chunked,
+            )
             ws = state.omega_vals[o_idxs]
-            res_b = vmap_chunked(lambda wi: solve_subproblem(
-                pa, state.candid_x, wi, init_basis=state.warm_basis,
-                init_at_upper=state.warm_atup, pivot_dtype=sub_pd), ws)
+            if staged:
+                # Kernel-fault guard (RESULTS §4b.2): cold/far-warm-start
+                # storm-shape solve programs at >=64 lanes with thousands
+                # of pivots crash the TPU worker.  Stage 1 runs the batch
+                # at full width under a bounded pivot budget (warm steady
+                # solves take a few hundred pivots and finish there);
+                # stage 2 is a straggler-only while_loop: each trip
+                # gathers up to STAGE2_LANES unfinished lanes, solves
+                # them with the FULL budget at that narrow width (proven
+                # safe for 5000+ pivot solves: f64 8-lane storm probes),
+                # and scatters the results back.  Zero trips when nothing
+                # straggled — the steady state pays only the predicate —
+                # and a cold start runs ceil(B/8) bounded-width trips
+                # instead of one fault-regime program.  Lanes that hit
+                # the iteration cap even at full budget are attempted
+                # once and keep ITER_LIMIT (fail-loud downstream), so the
+                # loop always terminates.
+                from stochasticdecomposition_tpu.ops.simplex import (
+                    STATUS_ITER_LIMIT,
+                )
+                res1 = vmap_chunked(lambda wi: solve_subproblem(
+                    pa, state.candid_x, wi, init_basis=state.warm_basis,
+                    init_at_upper=state.warm_atup, pivot_dtype=sub_pd,
+                    max_iter=STAGE1_PIVOTS), ws)
+
+                max_trips = -(-batch // STAGE2_LANES)
+
+                def _strag(res, attempted):
+                    return (res.status == STATUS_ITER_LIMIT) & ~attempted
+
+                def _s2_cond(carry):
+                    res, attempted, trips = carry
+                    return jnp.any(_strag(res, attempted)) & \
+                        (trips < max_trips)
+
+                def _s2_body(carry):
+                    res, attempted, trips = carry
+                    strag = _strag(res, attempted)
+                    # Stable sort: straggler indices first, take 8.
+                    idx = jnp.argsort(~strag)[:STAGE2_LANES]
+                    take = strag[idx]
+                    atup_all = jnp.concatenate(
+                        [res.cstat, res.rstat], axis=1) == AT_UPPER
+                    r2 = jax.vmap(lambda wi, bi, ai: solve_subproblem(
+                        pa, state.candid_x, wi, init_basis=bi,
+                        init_at_upper=ai, pivot_dtype=sub_pd))(
+                            ws[idx], res.basis[idx], atup_all[idx])
+
+                    def scat(old, new):
+                        t = take.reshape((-1,) + (1,) * (new.ndim - 1))
+                        return old.at[idx].set(
+                            jnp.where(t, new, old[idx]))
+
+                    res = jax.tree.map(scat, res, r2)
+                    return res, attempted.at[idx].set(attempted[idx] | take), \
+                        trips + 1
+
+                res_b, _, _ = lax.while_loop(
+                    _s2_cond, _s2_body,
+                    (res1, jnp.zeros(batch, bool), jnp.int32(0)))
+            else:
+                res_b = vmap_chunked(lambda wi: solve_subproblem(
+                    pa, state.candid_x, wi, init_basis=state.warm_basis,
+                    init_at_upper=state.warm_atup, pivot_dtype=sub_pd), ws)
             all_feas = jnp.all(res_b.status == STATUS_OPTIMAL)
-            # Refresh the warm basis from the last optimal lane.
-            from stochasticdecomposition_tpu.ops.simplex import AT_UPPER
+            # Refresh the warm basis from the optimal lane whose (centered)
+            # observation is closest to the batch centroid — the most
+            # typical scenario, so the NEXT batch's warm start minimizes
+            # the worst-case pivot distance (an extreme lane's basis would
+            # double it on wide-spread instances; part of the kernel-fault
+            # mitigation above).
             okb = res_b.status == STATUS_OPTIMAL
-            last_ok = jnp.where(jnp.any(okb),
-                                jnp.max(jnp.where(
-                                    okb, jnp.arange(batch), -1)), -1)
-            li = jnp.maximum(last_ok, 0)
+            norms = jnp.sum(ws * ws, axis=1)
+            score = jnp.where(okb, -norms, -jnp.inf)
+            li = jnp.argmax(score)
             atup_b = jnp.concatenate(
                 [res_b.cstat[li], res_b.rstat[li]]) == AT_UPPER
-            use = last_ok >= 0
+            use = jnp.any(okb)
             state = state._replace(
                 warm_basis=jnp.where(use, res_b.basis[li], state.warm_basis),
                 warm_atup=jnp.where(use, atup_b, state.warm_atup))

@@ -84,11 +84,16 @@ def lu_refine_inv(A: jnp.ndarray, steps: int = 3,
     n = A.shape[0]
     X = jnp.linalg.inv(A.astype(jnp.float32)).astype(dt)
     I1 = jnp.eye(n, dtype=dt)
-    I2 = 2.0 * I1
-    for _ in range(steps):
-        AX = jnp.matmul(A, X, precision=lax.Precision.HIGHEST)
-        X = jnp.matmul(X, I2 - AX, precision=lax.Precision.HIGHEST)
-    resid = jnp.max(jnp.abs(
-        I1 - jnp.matmul(A, X, precision=lax.Precision.HIGHEST)))
-    ok = jnp.isfinite(resid) & (resid < jnp.asarray(resid_tol, dt))
+    # Newton step in residual form: R = I - A X;  X <- X + X R.  Same two
+    # matmuls per step as X (2I - A X), but the LAST step's R certifies
+    # the output for free: R_final = R_last^2, so in the submultiplicative
+    # row-sum norm  ||R_final||_inf <= ||R_last||_inf^2 — no extra matmul.
+    R = I1 - jnp.matmul(A, X, precision=lax.Precision.HIGHEST)
+    for i in range(steps):
+        X = X + jnp.matmul(X, R, precision=lax.Precision.HIGHEST)
+        if i + 1 < steps:
+            R = I1 - jnp.matmul(A, X, precision=lax.Precision.HIGHEST)
+    r_norm = jnp.max(jnp.sum(jnp.abs(R), axis=1))
+    ok = jnp.isfinite(r_norm) & (r_norm * r_norm
+                                 < jnp.asarray(resid_tol, dt))
     return jnp.where(ok, X, jnp.asarray(jnp.nan, dt))

@@ -221,6 +221,73 @@ def test_sd_step_chunked_batch_identical(monkeypatch):
             np.asarray(getattr(st_raw, field)), err_msg=field)
 
 
+def test_staged_batch_solve_matches_unstaged():
+    """The two-stage kernel-fault guard (SUBPROB_STAGED_BATCH: bounded
+    stage-1 pivots at full width, 8-lane chunked finish) must reproduce
+    the single-pass batched step exactly when no lane hits the stage-1
+    budget — the guard changes WHERE pivots run, not the solves."""
+    import jax
+
+    from stochasticdecomposition_tpu.core.state import init_state
+    from stochasticdecomposition_tpu.core.step import make_step
+
+    core, tim, stoc = load_instance("lands")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    cfg_a = SDConfig(MAX_ITER=96, EVAL_FLAG=False, SAMPLE_INCREMENT=24,
+                     SUBPROB_STAGED_BATCH=False)
+    cfg_b = SDConfig(MAX_ITER=96, EVAL_FLAG=False, SAMPLE_INCREMENT=24,
+                     SUBPROB_STAGED_BATCH=True)
+    solver = SDSolver(sp, cfg_a)
+    step_b = make_step(solver.pa, solver.spec, cfg_b)
+    st_a = init_state(solver.pa, solver.caps, cfg_a, solver.mean_sol,
+                      jax.random.PRNGKey(9))
+    st_b = init_state(solver.pa, solver.caps, cfg_b, solver.mean_sol,
+                      jax.random.PRNGKey(9))
+    for _ in range(3):
+        st_a = solver.step(st_a)
+        st_b = step_b(st_b)
+    assert int(st_a.k) == int(st_b.k) == 72
+    for field in ("candid_x", "incumb_x", "cut_alpha", "cut_beta",
+                  "sigma_pib", "warm_basis"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_b, field)),
+            np.asarray(getattr(st_a, field)), err_msg=field)
+
+
+def test_staged_batch_stage2_finishes_stragglers(monkeypatch):
+    """Force stage 2: with a 2-pivot stage-1 budget every lane hits
+    ITER_LIMIT, so the 8-lane chunked finish must complete the solves —
+    the final state must match the unstaged step exactly (stage 2 has
+    the full iteration budget and warm-starts from stage-1 bases)."""
+    import jax
+
+    from stochasticdecomposition_tpu.core import step as step_mod
+    from stochasticdecomposition_tpu.core.state import init_state
+    from stochasticdecomposition_tpu.core.step import make_step
+
+    core, tim, stoc = load_instance("lands")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    cfg_a = SDConfig(MAX_ITER=64, EVAL_FLAG=False, SAMPLE_INCREMENT=16,
+                     SUBPROB_STAGED_BATCH=False)
+    cfg_b = SDConfig(MAX_ITER=64, EVAL_FLAG=False, SAMPLE_INCREMENT=16,
+                     SUBPROB_STAGED_BATCH=True)
+    solver = SDSolver(sp, cfg_a)
+    monkeypatch.setattr(step_mod, "STAGE1_PIVOTS", 2)
+    step_b = make_step(solver.pa, solver.spec, cfg_b)
+    st_a = init_state(solver.pa, solver.caps, cfg_a, solver.mean_sol,
+                      jax.random.PRNGKey(13))
+    st_b = init_state(solver.pa, solver.caps, cfg_b, solver.mean_sol,
+                      jax.random.PRNGKey(13))
+    for _ in range(2):
+        st_a = solver.step(st_a)
+        st_b = step_b(st_b)
+    assert bool(st_b.sp_feas), "stage 2 must finish the stragglers"
+    for field in ("candid_x", "cut_alpha", "sigma_pib"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_b, field)),
+            np.asarray(getattr(st_a, field)), err_msg=field)
+
+
 @pytest.mark.slow
 def test_sample_increment_1024_runs_chunked():
     """SI=1024 (above MAX_VMAP_LANES=512) is a legal public config; the

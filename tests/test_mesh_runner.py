@@ -75,6 +75,23 @@ def test_meshed_wave_scheduling_more_reps_than_mesh():
     _compare(seq, msh)
 
 
+def test_meshed_checkpoint_cadence_batched_stride(tmp_path):
+    """Meshed checkpoints fire on ELAPSED k (advisor r4 medium): with
+    SAMPLE_INCREMENT=8 the observed kmin never hits most multiples of
+    checkpoint_every=10, and the old exact-modulo rule only aligned at
+    lcm(8,10)=40 — the very end of this run."""
+    ck = str(tmp_path / "ck")
+    solver = _solver("lands", MAX_ITER=40, EVAL_FLAG=False, MULTIPLE_REP=2,
+                     SAMPLE_INCREMENT=8)
+    mesh = make_mesh(n_rep=2, n_obs=4)
+    solver.run(mesh=mesh, checkpoint_every=10, checkpoint_dir=ck)
+    import glob
+    import os
+    mids = sorted(glob.glob(os.path.join(ck, "mesh_wave00_k*.npz")))
+    # Elapsed-k trigger: fires at k=16 and k=32 (stride 8, >=10 elapsed).
+    assert len(mids) >= 2, os.listdir(ck)
+
+
 def test_meshed_checkpoint_resume_bit_identical(tmp_path):
     """A killed --mesh run resumes bit-identically (VERDICT r3 item 7):
     3 reps over a 2-wide rep axis exercises BOTH the in-progress-wave
