@@ -206,7 +206,7 @@ def bench_utilization(solver, batch=256, rounds=4):
     wall = time.perf_counter() - t0
 
     iters = np.asarray(iters)
-    chunk = max(8, min(64, m))                        # mirrors solve_lp
+    chunk = max(8, min(max(64, min(512, m // 4)), m))  # mirrors solve_lp
     n_chunks = int(np.ceil(iters.max() / chunk))
     flops_pivot = 4 * m * nt + 7 * m * m
     flops_lane = n_chunks * (chunk * flops_pivot + 2 * m**3 + 4 * m * m)

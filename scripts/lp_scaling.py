@@ -85,7 +85,7 @@ def rhs_batch(pa, spec, x, key, batch):
 
 
 def measure(pa, spec, x, batch, pivot_dtype, rounds=3, lite=True,
-            refac_every=64):
+            refac_every=None):
     from jax import lax
 
     from stochasticdecomposition_tpu.ops.simplex import (
@@ -126,6 +126,8 @@ def measure(pa, spec, x, batch, pivot_dtype, rounds=3, lite=True,
     wall = time.perf_counter() - t0
     iters = np.asarray(iters)
     ok = float(np.mean(np.asarray(status) == 0))
+    if refac_every is None:
+        refac_every = max(64, min(512, m // 4))   # mirrors solve_lp
     chunk = max(8, min(refac_every, m))
     n_chunks = int(np.ceil(iters.max() / chunk))
     flops_pivot = 4 * m * nt + 7 * m * m

@@ -223,13 +223,20 @@ def _compute_xb(sf: StandardForm, binv, basis, xn_full):
 
 
 def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
-             refac_every: int = 64, stall_limit: int = 24,
+             refac_every: int | None = None, stall_limit: int = 24,
              pivot_dtype=None, lite: bool = False,
              init_basis=None, init_at_upper=None) -> LPResult:
     """Solve  min d'y  s.t.  D y {sense} b,  l <= y <= u.
 
     Pure function of static-shape arrays — jit/vmap friendly.  ``max_iter=0``
-    derives a cap of 4*(m+n)+64.
+    derives a cap of 4*(m+n)+64.  ``refac_every=None`` derives the
+    refactorization cadence from the row count: max(64, min(512, m // 4)).
+    Measured on device at storm shape (m=528, 64 f32 lanes, cold): the
+    refactorization costs ~29 pivot-equivalents, so the old fixed 64
+    cadence spent ~31%% of the wall refactorizing — cadence 128-512 is
+    20-36%% faster on long cold solves with unchanged pivot counts and
+    objectives (scripts/lp_scaling.py --refac-sweep), while short warm
+    solves (~300 pivots) are cadence-neutral at m//4.
 
     ``pivot_dtype``: run the pivoting loop in a cheaper dtype (float32 hits
     the MXU on TPU instead of emulated f64) while the final basis
@@ -270,6 +277,8 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
     nt = n + m
     if max_iter == 0:
         max_iter = 4 * (m + n) + 64
+    if refac_every is None:
+        refac_every = max(64, min(512, m // 4))
 
     A = jnp.concatenate([D, jnp.eye(m, dtype=dtype)], axis=1)
     slack_lo = jnp.where(sense > 0, -_BIG, 0.0).astype(dtype)
