@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--metrics-every", type=int, default=256)
     ap.add_argument("--f32-pivot", action="store_true",
                     help="SUBPROB_F32_PIVOT (production large-scale mode)")
+    ap.add_argument("--max-lambda", type=int, default=None,
+                    help="pin the lambda/sigma pool capacities (pool-"
+                         "occupancy studies: the high-fill argmax/delta "
+                         "regime needs capacity near the expected dedup'd "
+                         "fill, not the MAX_ITER-derived bound)")
+    ap.add_argument("--max-omega", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -62,6 +68,8 @@ def main():
     cfg = SDConfig(MAX_ITER=args.max_iter, EVAL_FLAG=False,
                    SAMPLE_INCREMENT=args.si,
                    SUBPROB_F32_PIVOT=args.f32_pivot,
+                   MAX_LAMBDA=args.max_lambda, MAX_SIGMA=args.max_lambda,
+                   MAX_OMEGA=args.max_omega,
                    CHECK_EVERY=args.check_every).apply_tolerance_preset(
                        args.tol)
     t0 = time.perf_counter()

@@ -143,6 +143,10 @@ def run_replications_meshed(solver, mesh=None, log=lambda s: None,
     _extract_rep, _scatter_rep, snapshot = _make_wave_helpers(mesh, shardings)
 
     def _result_from_state(st, rep, opt, t_total, t_setup_):
+        # Same fail-loud contract as the sequential driver.
+        from stochasticdecomposition_tpu.runner import check_pool_overflow
+        check_pool_overflow(int(st.omega_cnt), int(st.lambda_cnt),
+                            int(st.sigma_cnt), solver.caps, rep=rep)
         return ReplicationResult(
             rep=rep,
             iterations=int(st.k),

@@ -35,6 +35,34 @@ from stochasticdecomposition_tpu.prob import StagedProblem
 from stochasticdecomposition_tpu.sampler import build_sampler
 
 
+def check_pool_overflow(omega_cnt: int, lambda_cnt: int, sigma_cnt: int,
+                        caps, rep: int | None = None) -> None:
+    """Pool-overflow detection (fail loud, never silent-wrong): counts
+    past capacity mean scatter writes were dropped.  lambda/sigma
+    overflow only WEAKENS cuts (the argmax runs over the stored subset —
+    still valid lower bounds), so warn; an overflowed omega pool is
+    INVALID — calc_omega returns the out-of-range index and the
+    subproblem then solves a clamp-read (wrong) observation, corrupting
+    the sample stream.  Discovered live in the r5 occupancy study, where
+    pinned pools overflowed by 0.7% with no signal."""
+    tag = "" if rep is None else f"replication {rep}: "
+    if omega_cnt > caps.O:
+        raise RuntimeError(
+            f"{tag}omega pool overflowed its capacity ({omega_cnt} > "
+            f"{caps.O}): observations past capacity were clamped to the "
+            "last stored row, corrupting the sample stream.  Raise "
+            "MAX_OMEGA (it must cover the dedup'd support, or the sample "
+            "budget on effectively-continuous instances).")
+    if lambda_cnt > caps.L or sigma_cnt > caps.S:
+        import warnings
+        warnings.warn(
+            f"{tag}dual-vertex pools overflowed (lambda {lambda_cnt}/"
+            f"{caps.L}, sigma {sigma_cnt}/{caps.S}): vertices past "
+            "capacity were dropped.  Cuts remain valid lower bounds but "
+            "are weaker; raise MAX_LAMBDA/MAX_SIGMA for full strength.",
+            RuntimeWarning, stacklevel=3)
+
+
 @dataclasses.dataclass
 class ReplicationResult:
     rep: int
@@ -345,6 +373,9 @@ class SDSolver:
             if np.max(np.abs(xi[ii] - np.round(xi[ii]))) > 1e-6:
                 state = state._replace(incumb_x=state.candid_x,
                                        incumb_est=state.candid_est)
+
+        check_pool_overflow(int(state.omega_cnt), int(state.lambda_cnt),
+                            int(state.sigma_cnt), self.caps)
 
         total = time.monotonic() - t0
         phase = {}

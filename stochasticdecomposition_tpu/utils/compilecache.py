@@ -38,7 +38,12 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         plats = jax.config.jax_platforms or "default"
     except Exception:
         plats = "default"
-    if "cpu" in plats:
+    # Skip only when CPU is the PRIMARY platform (tests, wall-compare CPU
+    # legs).  The axon tunnel reports "axon,cpu" — the trailing fallback
+    # entry must not disable caching for the TPU path (a substring test
+    # here silently turned the cache off for every device run in rounds
+    # 4-5 until caught: every process re-paid 100-300 s storm compiles).
+    if plats.split(",")[0].strip() == "cpu":
         return None
     path = os.path.join(path, plats.replace(",", "_"))
     try:

@@ -315,6 +315,30 @@ def test_eval_f32_pivot_statistically_accurate():
     assert abs(ev32.mean - ev64.mean) / abs(ev64.mean) < 5e-3
 
 
+def test_pool_overflow_fails_loudly():
+    """Overflowed pools must signal (found live in the r5 occupancy
+    study): omega overflow corrupts the sample stream (clamp-read of a
+    wrong observation) -> RuntimeError; lambda/sigma overflow only
+    weakens cuts -> RuntimeWarning."""
+    from stochasticdecomposition_tpu.runner import check_pool_overflow
+
+    core, tim, stoc = load_instance("lands")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    # Unit contract (omega capacity is lane-aligned to >=128, so a tiny
+    # instance cannot overflow it end-to-end; the check itself must).
+    solver = SDSolver(sp, SDConfig(MAX_ITER=24, EVAL_FLAG=False))
+    with pytest.raises(RuntimeError, match="omega pool overflowed"):
+        check_pool_overflow(solver.caps.O + 1, 0, 0, solver.caps)
+    with pytest.warns(RuntimeWarning, match="dual-vertex pools"):
+        check_pool_overflow(0, solver.caps.L + 1, 0, solver.caps)
+    # Integration: tiny lambda/sigma pools overflow on a real run and
+    # the replication warns (still completes — cuts are valid).
+    solver = SDSolver(sp, SDConfig(MAX_ITER=24, EVAL_FLAG=False,
+                                   MAX_LAMBDA=1, MAX_SIGMA=1))
+    with pytest.warns(RuntimeWarning, match="dual-vertex pools"):
+        solver.solve_replication(0)
+
+
 @pytest.mark.slow
 def test_batched_certification_deep_stop():
     """Batched runs reach the STATISTICAL stop with solution quality at
