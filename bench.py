@@ -693,20 +693,7 @@ def main():
         sp = attach_stoc(decompose(core, tim, stoc), stoc)
         solver = SDSolver(sp, SDConfig(MAX_ITER=64, EVAL_FLAG=False))
 
-    # ---- 4. end-to-end wall: TPU leg (BASELINE.md north-star rows + the
-    # flagship deep-certified-stop wall table).  The pgp2_b1 leg shares
-    # the parity stage's compiled program (identical config) and the
-    # pgp2_b64 leg's program is reused by sd_rates below, so the stage
-    # mostly pays run time, not compile time.
-    def _wall_tpu():
-        sys.path.insert(0, os.path.join(here, "scripts"))
-        from wall_compare import run_wall_suite
-        tpu = run_wall_suite(include_ssn=False)
-        extras["wall_tpu"] = tpu
-
-    stage("wall_tpu", _wall_tpu, need_s=90)
-
-    # ---- 5. SD step rate: sequential vs batched sampling ----------------
+    # ---- 4. SD step rate: sequential vs batched sampling ----------------
     def _sd_rates():
         # Batch-1 rate on the PARITY solver: its step is already compiled.
         steps1, samples1, _ = bench_sd_rate(solver, solver.cfg, n_iter=40)
@@ -746,7 +733,7 @@ def main():
         extras["sd_20termlike_b64"] = bench_suite_sd(
             "20termlike", 2048, sample_increment=64, tol="l", check_every=4)
 
-    stage("suite_20termlike_stop", _20term, need_s=110)
+    stage("suite_20termlike_stop", _20term, need_s=100)
 
     def _ssn():
         # Same config as `scripts/suite_to_stop.py ssnlike --tol l --si 64
@@ -755,10 +742,9 @@ def main():
             "ssnlike", 4096, sample_increment=64, tol="l", check_every=4,
             f32_pivot=True)
 
-    stage("suite_ssnlike", _ssn, need_s=130)
+    stage("suite_ssnlike", _ssn, need_s=120)
 
-    # ---- 8. storm scale b64 TO THE STATISTICAL STOP (most expensive;
-    # LAST so an overrun cannot starve anything) --------------------------
+    # ---- 8. storm scale b64 TO THE STATISTICAL STOP ---------------------
     def _storm_b64():
         # Same config as wall_compare's --storm leg and
         # `scripts/suite_to_stop.py stormlike --tol l --si 64
@@ -767,9 +753,25 @@ def main():
             "stormlike", 1024, sample_increment=64, tol="l", check_every=4,
             f32_pivot=True)
 
-    stage("suite_stormlike_b64", _storm_b64, need_s=150)
+    stage("suite_stormlike_b64", _storm_b64, need_s=140)
 
-    # ---- 9. join the CPU leg and form the wall ratios -------------------
+    # ---- 9. end-to-end wall: TPU leg (BASELINE.md north-star rows + the
+    # flagship deep-certified-stop wall table).  Runs AFTER the suite
+    # stops: on a cold-cache day it is the sacrificial stage — its
+    # deep-stop wall table is already on record in committed artifacts
+    # (artifacts/bench_out_run2_r5.json), while the suite certifications
+    # and the storm ratio must land fresh every round.  The pgp2_b1 leg
+    # shares the parity stage's compiled program (identical config) and
+    # the pgp2_b64 leg's program is shared with sd_rates above.
+    def _wall_tpu():
+        sys.path.insert(0, os.path.join(here, "scripts"))
+        from wall_compare import run_wall_suite
+        tpu = run_wall_suite(include_ssn=False)
+        extras["wall_tpu"] = tpu
+
+    stage("wall_tpu", _wall_tpu, need_s=100)
+
+    # ---- 10. join the CPU leg and form the wall ratios ------------------
     # _join_cpu ALSO runs from emit(), so a budget overrun can no longer
     # discard a finished CPU leg (r3's evidence loss).
     stage("wall_cpu_join", lambda: _join_cpu(max(10.0, left() - 15)))
