@@ -85,7 +85,7 @@ def rhs_batch(pa, spec, x, key, batch):
 
 
 def measure(pa, spec, x, batch, pivot_dtype, rounds=3, lite=True,
-            refac_every=None):
+            refac_every=None, partial=False, pp_window=16, pp_cands=256):
     from jax import lax
 
     from stochasticdecomposition_tpu.ops.simplex import (
@@ -106,7 +106,8 @@ def measure(pa, spec, x, batch, pivot_dtype, rounds=3, lite=True,
             res = jax.vmap(lambda b: solve_lp(
                 pa.D, pa.sense2, pa.d_bar, pa.l2, pa.u2, b,
                 pivot_dtype=pivot_dtype, lite=lite,
-                refac_every=refac_every))(rb)
+                refac_every=refac_every, partial_pricing=partial,
+                pp_window=pp_window, pp_cands=pp_cands))(rb)
             return res.iters, res.status, res.obj
 
         if batch > lanes:

@@ -225,6 +225,8 @@ def _compute_xb(sf: StandardForm, binv, basis, xn_full):
 def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
              refac_every: int | None = None, stall_limit: int = 24,
              pivot_dtype=None, lite: bool = False,
+             partial_pricing: bool = False, pp_window: int = 16,
+             pp_cands: int = 256,
              init_basis=None, init_at_upper=None) -> LPResult:
     """Solve  min d'y  s.t.  D y {sense} b,  l <= y <= u.
 
@@ -546,7 +548,236 @@ def solve_lp(D, sense, d, l, u, b, *, max_iter: int = 0, tol: float = 1e-9,
     def cond(st: _State):
         return ~st.done & (st.it < max_iter)
 
-    final = lax.while_loop(cond, outer_body, state0)
+    # ---- partial pricing (opt-in): candidate-list Devex -----------------
+    # At suite scale the two full-width [m, nt] GEMVs — pricing and the
+    # Devex weight row — are ~72% of per-pivot flops (storm: 4.9 of 6.8
+    # MFLOP).  Partial pricing refreshes a top-NC candidate set by FULL
+    # pricing every ``pp_window`` pivots and restricts both GEMVs to the
+    # gathered [m, NC] candidate block in between (the classic partial /
+    # candidate-list scheme).  Correctness invariants:
+    #   * termination ("no eligible column" -> OPTIMAL/INFEASIBLE) is
+    #     decided ONLY at refresh points, where pricing is full-width —
+    #     a lane with no eligible CANDIDATE merely idles to the next
+    #     refresh (bounded by pp_window);
+    #   * unboundedness/phase-1 stuckness found on a candidate column are
+    #     global certificates and terminate immediately;
+    #   * non-candidate Devex weights go stale (standard for the scheme);
+    #     the 1e8 reset guard is unchanged.
+    if partial_pricing:
+        NC = min(pp_cands, nt)
+        win = max(1, min(pp_window, chunk))
+        n_mini = max(1, chunk // win)
+        neg_big = jnp.asarray(-jnp.finfo(dtype).max / 8, dtype)
+
+        def _phase_piv(st):
+            lo_b = jnp.take(lo, st.basis)
+            up_b = jnp.take(up, st.basis)
+            viol_lo = st.xb < lo_b - tol
+            viol_hi = st.xb > up_b + tol
+            in_phase1 = jnp.any(viol_lo | viol_hi)
+            cb1 = jnp.where(viol_lo, -1.0,
+                            jnp.where(viol_hi, 1.0, 0.0)).astype(dtype)
+            cb = jnp.where(in_phase1, cb1, jnp.take(c, st.basis))
+            piv = _mm(cb, st.binv)
+            return in_phase1, piv, viol_lo, viol_hi, lo_b, up_b
+
+        def _refresh(st):
+            """Full pricing: termination decision + new candidate set."""
+            in_phase1, piv, _, _, _, _ = _phase_piv(st)
+            red = jnp.where(in_phase1, 0.0, c) - _mm(piv, A)
+            free_nb = ~st.in_basis & ~jnp.isfinite(lo) & ~jnp.isfinite(up)
+            not_fixed = (up - lo) > tol
+            elig_inc = ~st.in_basis & not_fixed & \
+                (~st.at_upper | free_nb) & (red < -tol)
+            elig_dec = ~st.in_basis & not_fixed & \
+                (st.at_upper | free_nb) & (red > tol)
+            elig = elig_inc | elig_dec
+            any_elig = jnp.any(elig)
+            term_status = jnp.where(in_phase1, STATUS_INFEASIBLE,
+                                    STATUS_OPTIMAL)
+            status_new = jnp.where(
+                st.done, st.status,
+                jnp.where(~any_elig, term_status, st.status)).astype(
+                    jnp.int32)
+            done_new = st.done | ~any_elig
+            use_bland = st.stall >= stall_limit
+            score = jnp.where(elig, red * red / st.gamma, neg_big)
+            bland_score = jnp.where(elig, -col_ids.astype(dtype),
+                                    neg_big)
+            sel = jnp.where(use_bland, bland_score, score)
+            _, cand_idx = lax.top_k(sel, NC)
+            cand_idx = cand_idx.astype(jnp.int32)
+            A_C = jnp.take(A, cand_idx, axis=1)          # [m, NC]
+            return st._replace(done=done_new, status=status_new), \
+                cand_idx, A_C
+
+        def _pivot_c(st, cand_idx, A_C):
+            in_phase1, piv, viol_lo, viol_hi, lo_b, up_b = _phase_piv(st)
+            basis, in_basis, at_upper, binv, xb = (
+                st.basis, st.in_basis, st.at_upper, st.binv, st.xb)
+
+            c_C = jnp.take(c, cand_idx)
+            red_C = jnp.where(in_phase1, 0.0, c_C) - _mm(piv, A_C)  # [NC]
+            lo_C = jnp.take(lo, cand_idx)
+            up_C = jnp.take(up, cand_idx)
+            inb_C = jnp.take(in_basis, cand_idx)
+            atu_C = jnp.take(at_upper, cand_idx)
+            free_C = ~inb_C & ~jnp.isfinite(lo_C) & ~jnp.isfinite(up_C)
+            nf_C = (up_C - lo_C) > tol
+            elig_inc_C = ~inb_C & nf_C & (~atu_C | free_C) & (red_C < -tol)
+            elig_dec_C = ~inb_C & nf_C & (atu_C | free_C) & (red_C > tol)
+            elig_C = elig_inc_C | elig_dec_C
+            any_elig_C = jnp.any(elig_C)
+
+            gamma_C = jnp.take(st.gamma, cand_idx)
+            score_C = jnp.where(elig_C, red_C * red_C / gamma_C, -1.0)
+            bland_C = jnp.where(elig_C, -cand_idx, -(nt + 1))
+            use_bland = st.stall >= stall_limit
+            jc = jnp.where(use_bland, jnp.argmax(bland_C),
+                           jnp.argmax(score_C)).astype(jnp.int32)
+            j = jnp.take(cand_idx, jc)
+            dir_ = jnp.where(jnp.take(elig_inc_C, jc), 1.0,
+                             -1.0).astype(dtype)
+
+            w = _mm(binv, A_C[:, jc])                     # [m]
+            delta = -dir_ * w
+
+            # Harris two-pass ratio test — identical to the full body.
+            moving_up = delta > tol
+            moving_dn = delta < -tol
+            upper_target = jnp.where(viol_lo, lo_b,
+                                     jnp.where(viol_hi, _BIG, up_b))
+            lower_target = jnp.where(viol_hi, up_b,
+                                     jnp.where(viol_lo, -_BIG, lo_b))
+            r_up = jnp.where(
+                moving_up & jnp.isfinite(upper_target),
+                (upper_target - xb) / jnp.where(moving_up, delta, 1.0),
+                big_ratio)
+            r_dn = jnp.where(
+                moving_dn & jnp.isfinite(lower_target),
+                (lower_target - xb) / jnp.where(moving_dn, delta, 1.0),
+                big_ratio)
+            ratios = jnp.maximum(jnp.minimum(r_up, r_dn), 0.0)
+            feas_tol = jnp.asarray(max(tol, 1e-9), dtype)
+            r_up_rel = jnp.where(
+                moving_up & jnp.isfinite(upper_target),
+                (upper_target - xb + feas_tol) /
+                jnp.where(moving_up, delta, 1.0), big_ratio)
+            r_dn_rel = jnp.where(
+                moving_dn & jnp.isfinite(lower_target),
+                (lower_target - xb - feas_tol) /
+                jnp.where(moving_dn, delta, 1.0), big_ratio)
+            theta_rel = jnp.maximum(
+                jnp.min(jnp.minimum(r_up_rel, r_dn_rel)), 0.0)
+            span_j = jnp.take(up, j) - jnp.take(lo, j)
+            flip_ratio = jnp.where(jnp.isfinite(span_j), span_j, big_ratio)
+            cand_rows = ratios <= theta_rel
+            leave_score = jnp.where(cand_rows, jnp.abs(w), -1.0)
+            r_leave = jnp.argmax(leave_score).astype(jnp.int32)
+            min_basic_ratio = jnp.where(jnp.any(cand_rows),
+                                        jnp.take(ratios, r_leave),
+                                        big_ratio)
+            t_star = jnp.minimum(min_basic_ratio, flip_ratio)
+            # The certificates only hold for a REAL eligible entering
+            # column; an idle pivot (no eligible candidate) produces a
+            # garbage ray and must not terminate the lane.
+            unbounded = (t_star >= big_ratio) & ~in_phase1 & any_elig_C
+            stuck = (t_star >= big_ratio) & in_phase1 & any_elig_C
+            do_flip = flip_ratio < min_basic_ratio - tol
+
+            xb_new = xb + t_star * delta
+            at_upper_flip = at_upper.at[j].set(~jnp.take(at_upper, j))
+
+            leave_var = jnp.take(basis, r_leave)
+            leave_delta = jnp.take(delta, r_leave)
+            blocked_at = jnp.where(leave_delta > 0,
+                                   jnp.take(upper_target, r_leave),
+                                   jnp.take(lower_target, r_leave))
+            leave_is_upper = jnp.abs(
+                blocked_at - jnp.take(up, leave_var)) <= \
+                jnp.abs(blocked_at - jnp.take(lo, leave_var))
+            basis_new = basis.at[r_leave].set(j)
+            in_basis_new = in_basis.at[j].set(True).at[leave_var].set(False)
+            at_upper_new = at_upper.at[leave_var].set(
+                leave_is_upper).at[j].set(False)
+
+            # Devex update restricted to the candidate block.
+            w_r0 = jnp.take(w, r_leave)
+            safe_aq = jnp.where(jnp.abs(w_r0) < 1e-12, 1.0, w_r0)
+            alpha_C = _mm(binv[r_leave], A_C)             # [NC]
+            g_q = jnp.take(st.gamma, j)
+            cand_g_C = jnp.square(alpha_C / safe_aq) * g_q
+            gamma_piv = st.gamma.at[cand_idx].max(cand_g_C)
+            gamma_piv = gamma_piv.at[leave_var].set(
+                jnp.maximum(g_q / jnp.square(safe_aq), 1.0))
+            gamma_piv = jnp.where(jnp.max(gamma_piv) > 1e8,
+                                  jnp.ones_like(gamma_piv), gamma_piv)
+
+            w_r = jnp.take(w, r_leave)
+            safe_wr = jnp.where(jnp.abs(w_r) < 1e-12, 1.0, w_r)
+            eta = -w / safe_wr
+            eta = eta.at[r_leave].set(1.0 / safe_wr)
+            binv_new = binv + jnp.outer(
+                eta - jnp.eye(m, dtype=dtype)[:, r_leave], binv[r_leave])
+            lo_j = jnp.take(lo, j)
+            up_j = jnp.take(up, j)
+            vl_j = jnp.where(jnp.isfinite(lo_j), lo_j,
+                             jnp.where(jnp.isfinite(up_j), up_j, 0.0))
+            vu_j = jnp.where(jnp.isfinite(up_j), up_j,
+                             jnp.where(jnp.isfinite(lo_j), lo_j, 0.0))
+            x_j_old = jnp.where(jnp.take(at_upper, j), vu_j, vl_j)
+            xb_pivot = xb_new.at[r_leave].set(x_j_old + dir_ * t_star)
+
+            def _on_flip():
+                return basis, in_basis, at_upper_flip, binv, xb_new, st.gamma
+
+            def _on_pivot():
+                return (basis_new, in_basis_new, at_upper_new, binv_new,
+                        xb_pivot, gamma_piv)
+
+            basis2, in_basis2, at_upper2, binv2, xb2, gamma2 = lax.cond(
+                do_flip, _on_flip, _on_pivot)
+
+            degen = t_star <= tol
+            # An idle pivot (no eligible candidate) keeps everything; it
+            # does NOT terminate — only the next full-pricing refresh may.
+            keep = ~any_elig_C | unbounded | stuck | st.done
+            did = ~keep
+            status_new = jnp.where(
+                st.done, st.status,
+                jnp.where(unbounded, STATUS_UNBOUNDED,
+                          jnp.where(stuck, STATUS_INFEASIBLE,
+                                    st.status))).astype(jnp.int32)
+            return _State(
+                basis=jnp.where(keep, basis, basis2),
+                in_basis=jnp.where(keep, in_basis, in_basis2),
+                at_upper=jnp.where(keep, at_upper, at_upper2),
+                binv=jnp.where(keep, binv, binv2),
+                xb=jnp.where(keep, xb, xb2),
+                gamma=jnp.where(keep, st.gamma, gamma2),
+                it=jnp.where(did, st.it + 1, st.it),
+                stall=jnp.where(did,
+                                jnp.where(degen, st.stall + 1,
+                                          jnp.int32(0)), st.stall),
+                done=st.done | unbounded | stuck,
+                status=status_new,
+            )
+
+        def _mini_body(i, st):
+            st, cand_idx, A_C = _refresh(st)
+            return lax.fori_loop(
+                0, win, lambda _, s: _pivot_c(s, cand_idx, A_C), st)
+
+        def outer_body_p(st: _State) -> _State:
+            st = lax.fori_loop(0, n_mini, _mini_body, st)
+            binv_ = _refactorize(sf, st.basis)
+            xn_full = _nonbasic_values(sf, st.at_upper, st.in_basis)
+            xb_ = _compute_xb(sf, binv_, st.basis, xn_full)
+            return st._replace(binv=binv_, xb=xb_)
+
+        final = lax.while_loop(cond, outer_body_p, state0)
+    else:
+        final = lax.while_loop(cond, outer_body, state0)
 
     status = jnp.where(final.done, final.status, jnp.int32(STATUS_ITER_LIMIT))
 

@@ -70,6 +70,31 @@ def test_random_lps_match_scipy(seed):
             assert status == STATUS_UNBOUNDED
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_random_lps_partial_pricing_match_scipy(seed):
+    """The opt-in partial-pricing path (candidate-list Devex, full
+    pricing only at refresh points) must reach the same optima, duals
+    and statuses as scipy — small NC/window force many refresh cycles
+    and idle pivots."""
+    rng = np.random.default_rng(100 + seed)
+    for _ in range(6):
+        D, sense, d, l, u, b = _random_lp(rng)
+        ref = _scipy_solve(D, sense, d, l, u, b)
+        out = solve_lp(jnp.array(D), jnp.array(sense), jnp.array(d),
+                       jnp.array(l), jnp.array(u), jnp.array(b),
+                       partial_pricing=True, pp_window=3, pp_cands=4)
+        status = int(out.status)
+        if ref.status == 0:
+            assert status == STATUS_OPTIMAL
+            assert abs(float(out.obj) - ref.fun) <= 1e-6 * max(1, abs(ref.fun))
+            resid = d - np.array(out.pi) @ D - np.array(out.dj)
+            assert np.max(np.abs(resid)) < 1e-7
+        elif ref.status == 2:
+            assert status == STATUS_INFEASIBLE
+        elif ref.status == 3:
+            assert status == STATUS_UNBOUNDED
+
+
 def test_dual_sign_convention():
     # min -x s.t. x <= 2  ->  pi(LE row) = -1 (CPLEX minimization convention)
     out = solve_lp(jnp.array([[1.0]]), jnp.array([-1]), jnp.array([-1.0]),
