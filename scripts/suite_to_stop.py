@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--f32-pivot", action="store_true",
                     help="run the SD-loop subproblem pivot loops in f32 "
                          "(SUBPROB_F32_PIVOT; duals/basis still f64)")
+    ap.add_argument("--max-lambda", type=int, default=None,
+                    help="pin lambda AND sigma pool capacity (compute in the "
+                         "capacity-static design scales with capacity, so "
+                         "MAX_ITER-derived v2.0 caps — rvd*MAX_ITER, "
+                         "setup.c:136-139 — dominate wall on small instances)")
+    ap.add_argument("--max-omega", type=int, default=None,
+                    help="pin omega pool capacity")
     args = ap.parse_args()
 
     from stochasticdecomposition_tpu.config import SDConfig
@@ -56,7 +63,9 @@ def main():
     sp = attach_stoc(decompose(core, tim, stoc), stoc)
     cfg = SDConfig(MAX_ITER=args.max_iter, EVAL_FLAG=False,
                    SAMPLE_INCREMENT=args.si, CHECK_EVERY=args.check_every,
-                   SUBPROB_F32_PIVOT=args.f32_pivot)
+                   SUBPROB_F32_PIVOT=args.f32_pivot,
+                   MAX_LAMBDA=args.max_lambda, MAX_SIGMA=args.max_lambda,
+                   MAX_OMEGA=args.max_omega)
     cfg = cfg.apply_tolerance_preset(args.tol)
     solver = SDSolver(sp, cfg)
     t_setup = time.perf_counter() - t0
