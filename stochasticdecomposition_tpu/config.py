@@ -245,7 +245,7 @@ _FLOAT_KEYS = {
     "MEMORY_BUDGET_GB",
 }
 _BOOL_KEYS = {"EVAL_FLAG", "DUAL_STABILITY", "COMPROMISE_PROB",
-              "SUBPROB_STAGED_BATCH"}
+              "SUBPROB_STAGED_BATCH", "SUBPROB_F32_PIVOT", "EVAL_F32_PIVOT"}
 
 
 def load_config(path: str | Path) -> SDConfig:

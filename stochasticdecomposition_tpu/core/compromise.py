@@ -164,9 +164,25 @@ def solve_compromise(pa: ProblemArrays, cfg: SDConfig,
     G = np.array(G_rows)
     h = np.array(h_vals)
 
-    res = solve_qp(jnp.asarray(Q), jnp.asarray(c), jnp.asarray(A),
-                   jnp.asarray(bb), jnp.asarray(G), jnp.asarray(h),
-                   polish=(nv + len(A) + len(G)) <= 2000, max_iter=100)
+    # The compromise QP is the HOST epilogue of the run (SURVEY §2c: "host
+    # gather -> one small QP on host 0"; the reference hands it to CPLEX on
+    # the host, compromise.c:259).  Pin it to the CPU backend: it is solved
+    # once per run, is tiny (B*(n1+1) dense variables), and the TPU's
+    # emulated-f64 IPM fails to converge on storm-scale instances where the
+    # identical system converges in 12 iterations on CPU (measured r5; the
+    # equality-tied block structure drives late-barrier KKT systems past
+    # what emulated f64 resolves, and the active-set polish inherits the
+    # same ill-conditioned gj_solve).
+    import jax
+
+    try:
+        _cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        _cpu = None
+    with jax.default_device(_cpu):
+        res = solve_qp(jnp.asarray(Q), jnp.asarray(c), jnp.asarray(A),
+                       jnp.asarray(bb), jnp.asarray(G), jnp.asarray(h),
+                       polish=(nv + len(A) + len(G)) <= 2000, max_iter=100)
     if _return_obj:
         # B&B node mode: report (x, obj, ok) and let the caller prune — a
         # non-certified node on a tightened box is (almost always) an

@@ -68,17 +68,22 @@ def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
                            init_basis=base.basis, init_at_upper=base_atup)
             return res.obj, res.status == STATUS_OPTIMAL
 
-        # Cap the vmap width per dispatch (ops/simplex.MAX_VMAP_LANES: wider
-        # widths miscompile on the TPU backend); larger EVAL_BATCHes run as
-        # lax.map chunks inside this one jitted program — measured at the
-        # same throughput (the solver saturates the chip well below the
-        # cap), so this costs nothing.
-        from stochasticdecomposition_tpu.ops.simplex import MAX_VMAP_LANES
+        # Cap the vmap width per dispatch: MAX_VMAP_LANES guards the TPU
+        # wide-vmap miscompile, mem_lane_cap guards the HBM peak at large
+        # row counts (a 512-lane storm-shape eval program needs 36.6 GB of
+        # temps; 128-lane chunks reuse the same buffers).  Larger
+        # EVAL_BATCHes run as lax.map chunks inside this one jitted
+        # program — measured at the same throughput (the solver saturates
+        # the chip well below the caps), so this costs nothing.
+        from stochasticdecomposition_tpu.ops.simplex import (
+            MAX_VMAP_LANES, mem_lane_cap,
+        )
 
-        if batch > MAX_VMAP_LANES:
+        nbytes = 4 if pivot_dtype == jnp.float32 else dtype.itemsize
+        lanes = min(MAX_VMAP_LANES, mem_lane_cap(pa.D.shape[0], nbytes))
+        if batch > lanes:
             from jax import lax
 
-            lanes = MAX_VMAP_LANES
             n_chunks = -(-batch // lanes)
             pad = n_chunks * lanes - batch
             w_p = jnp.concatenate([w, w[:pad]]) if pad else w

@@ -63,6 +63,28 @@ STATUS_ITER_LIMIT = 3
 # wider batches with lax.map at this width.
 MAX_VMAP_LANES = 512
 
+# HBM guard for batched solves at LARGE row counts.  A solve_lp batch's
+# peak HBM scales as lanes * m^2: the basis inverse plus the
+# refactorization-scan's remat copies dominate, and XLA keeps ~64 live
+# copies at peak (measured: a 512-lane m=528 f32 eval program demanded
+# 36.6 GB against 15.75 GB HBM — the SD loop only ever survived storm
+# shape because SAMPLE_INCREMENT=64).  mem_lane_cap derives the widest
+# power-of-two dispatch width that keeps that peak under
+# LANE_HBM_BUDGET; wider batches run as lax.map chunks of this width
+# (vmap_chunked), sequentially reusing the buffers.
+LANE_HBM_BUDGET = 10 * 1024**3
+_LANE_HBM_COPIES = 64
+
+
+def mem_lane_cap(m: int, dtype_bytes: int = 4) -> int:
+    """Widest safe vmap width for an m-row solve_lp batch: power of two in
+    [8, MAX_VMAP_LANES] with lanes * m^2 * dtype_bytes * ~64 live copies
+    under LANE_HBM_BUDGET.  528-row (storm) f32 -> 128; <=256-row shapes
+    are uncapped (MAX_VMAP_LANES)."""
+    per_lane = _LANE_HBM_COPIES * dtype_bytes * m * m
+    cap = max(8, min(MAX_VMAP_LANES, int(LANE_HBM_BUDGET // max(per_lane, 1))))
+    return 1 << (cap.bit_length() - 1)
+
 
 def vmap_chunked(fn, xs, max_lanes: int | None = None):
     """``jax.vmap(fn)(xs)`` with the dispatch width capped at ``max_lanes``.

@@ -110,18 +110,23 @@ def make_sharded_eval(pa, spec, batch: int, mesh: Mesh):
             res = solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs)
             return res.obj, res.status == STATUS_OPTIMAL
 
-        # Cap the PER-DEVICE vmap width (ops/simplex.MAX_VMAP_LANES: wider
-        # solve_lp vmaps miscompile on TPU).  The chunk width is
-        # max_lanes * n_shard so each lax.map step still spreads max_lanes
-        # lanes per device; the per-chunk sharding constraint keeps the
-        # observation axis distributed.
-        from stochasticdecomposition_tpu.ops.simplex import MAX_VMAP_LANES
+        # Cap the PER-DEVICE vmap width (ops/simplex.MAX_VMAP_LANES guards
+        # the wide-vmap miscompile; mem_lane_cap guards the per-device HBM
+        # peak at large row counts).  The chunk width is max_lanes * n_shard
+        # so each lax.map step still spreads max_lanes lanes per device;
+        # the per-chunk sharding constraint keeps the observation axis
+        # distributed.
+        from stochasticdecomposition_tpu.ops.simplex import (
+            MAX_VMAP_LANES, mem_lane_cap,
+        )
 
-        chunk_w = MAX_VMAP_LANES * n_shard
+        max_lanes = min(MAX_VMAP_LANES,
+                        mem_lane_cap(pa.D.shape[0], dtype.itemsize))
+        chunk_w = max_lanes * n_shard
         if batch > chunk_w:
             assert batch % chunk_w == 0, (
                 f"sharded eval batch {batch} must be a multiple of "
-                f"{chunk_w} (MAX_VMAP_LANES x mesh size) to chunk evenly")
+                f"{chunk_w} (lane cap x mesh size) to chunk evenly")
             n_chunks = batch // chunk_w
             w_c = w.reshape(n_chunks, chunk_w, -1)
             w_c = jax.lax.with_sharding_constraint(

@@ -41,6 +41,9 @@ EPSILON 0.001
 SCAN_LEN 256
 MULTIPLE_REP 2
 COMPROMISE_PROB	1
+SAMPLE_INCREMENT 64
+CHECK_EVERY 4
+SUBPROB_F32_PIVOT 1
 """
     with tempfile.NamedTemporaryFile("w", suffix=".sd", delete=False) as fh:
         fh.write(text)
@@ -50,6 +53,10 @@ COMPROMISE_PROB	1
     assert cfg.MAX_ITER == 500
     assert cfg.RUN_SEED == [3554548844580680, 4650175399072632]
     assert cfg.MULTIPLE_REP == 2 and cfg.COMPROMISE_PROB
+    # the production large-scale keys must round-trip through config.sd
+    # (the reference's vestigial -s flag analog lives here, twoSD.c:69-117)
+    assert cfg.SAMPLE_INCREMENT == 64 and cfg.CHECK_EVERY == 4
+    assert cfg.SUBPROB_F32_PIVOT is True
     assert cfg.apply_tolerance_preset("l").EPSILON == 0.01
 
 
@@ -232,6 +239,46 @@ def test_sharded_eval_matches_single(monkeypatch):
     assert int(ok_sh) == int(ok1)
     np.testing.assert_allclose(float(m_sh), float(m1), rtol=1e-10)
     np.testing.assert_allclose(float(m2_sh), float(m21), rtol=1e-8)
+
+
+def test_mem_lane_cap_and_chunked_eval_equivalence(monkeypatch):
+    """mem_lane_cap (HBM guard, RESULTS §4b): storm-class row counts shrink
+    the per-dispatch width (a 512-lane 528-row f32 eval program measured a
+    36.6 GB HBM peak against 15.75 GB); small shapes stay uncapped.  A
+    batch forced through the chunked path must match the single-vmap
+    dispatch."""
+    import jax.numpy as jnp
+
+    from stochasticdecomposition_tpu.core.evaluate import make_eval_batch
+    from stochasticdecomposition_tpu.models.instances import load_instance
+    from stochasticdecomposition_tpu.ops import simplex
+    from stochasticdecomposition_tpu.prob import decompose
+    from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
+
+    assert simplex.mem_lane_cap(528, 4) == 128   # storm f32 pivots
+    assert simplex.mem_lane_cap(528, 8) == 64    # storm f64
+    assert simplex.mem_lane_cap(175, 4) == 512   # ssn: uncapped
+    assert simplex.mem_lane_cap(80, 8) == 512    # small: uncapped
+    assert simplex.mem_lane_cap(5000, 8) == 8    # floor
+    for m in (100, 300, 528, 900):
+        cap = simplex.mem_lane_cap(m, 8)
+        assert 8 <= cap <= simplex.MAX_VMAP_LANES
+        assert cap & (cap - 1) == 0              # power of two
+
+    core, tim, stoc = load_instance("pgp2like")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    solver = SDSolver(sp, SDConfig(MAX_ITER=40, EVAL_FLAG=False))
+    x = jnp.asarray(solver.mean_sol)
+    key = jax.random.PRNGKey(7)
+    ref = make_eval_batch(solver.pa, solver.spec, 32)(x, key)
+    # shrink the budget so pgp2like's 7-row shape caps at 8 lanes -> the
+    # same 32-draw batch runs as 4 lax.map chunks
+    monkeypatch.setattr(simplex, "LANE_HBM_BUDGET", 300_000)
+    assert simplex.mem_lane_cap(7, 8) == 8
+    chunked = make_eval_batch(solver.pa, solver.spec, 32)(x, key)
+    assert int(ref[2]) == int(chunked[2])
+    np.testing.assert_allclose(float(ref[0]), float(chunked[0]), rtol=1e-12)
+    np.testing.assert_allclose(float(ref[1]), float(chunked[1]), rtol=1e-10)
 
 
 @pytest.mark.slow
