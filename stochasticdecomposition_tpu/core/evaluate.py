@@ -61,12 +61,12 @@ def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
                         pivot_dtype=pivot_dtype, lite=True)
         base_atup = jnp.concatenate([base.cstat, base.rstat]) == AT_UPPER
 
-        def solve_one(wi):
+        def _solve(wi, max_pivots, init_basis, init_atup):
             rhs, cost = subproblem_rhs_cost(pa, x, wi)
-            res = solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs,
-                           pivot_dtype=pivot_dtype, lite=True,
-                           init_basis=base.basis, init_at_upper=base_atup)
-            return res.obj, res.status == STATUS_OPTIMAL
+            return solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs,
+                            pivot_dtype=pivot_dtype, lite=True,
+                            max_iter=max_pivots,
+                            init_basis=init_basis, init_at_upper=init_atup)
 
         # Cap the vmap width per dispatch: MAX_VMAP_LANES guards the TPU
         # wide-vmap miscompile, mem_lane_cap guards the HBM peak at large
@@ -75,24 +75,76 @@ def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
         # EVAL_BATCHes run as lax.map chunks inside this one jitted
         # program — measured at the same throughput (the solver saturates
         # the chip well below the caps), so this costs nothing.
+        from jax import lax
+
         from stochasticdecomposition_tpu.ops.simplex import (
-            MAX_VMAP_LANES, mem_lane_cap,
+            MAX_VMAP_LANES, STAGE1_MAX_LANES, STAGE1_PIVOTS, STAGE2_LANES,
+            STAGED_MIN_ROWS, STATUS_ITER_LIMIT, mem_lane_cap,
         )
 
         nbytes = 4 if pivot_dtype == jnp.float32 else dtype.itemsize
         lanes = min(MAX_VMAP_LANES, mem_lane_cap(pa.D.shape[0], nbytes))
-        if batch > lanes:
-            from jax import lax
+        # Kernel-fault guard (RESULTS §4b.2), same staging as the SD loop:
+        # on storm-class row counts, wide-spread observations put warm
+        # starts thousands of pivots from the mean basis, and long
+        # many-lane x 528-row solve programs crash the TPU worker (hit
+        # live: stormhvlike's replication eval, r5 session 2).  Stage 1
+        # solves each chunk at <=STAGE1_MAX_LANES width under a bounded
+        # pivot budget; stage 2 gathers stragglers <=STAGE2_LANES at a
+        # time and finishes them with the full budget from their own
+        # stage-1 bases.
+        staged = int(pa.D.shape[0]) >= STAGED_MIN_ROWS \
+            and lanes > STAGE2_LANES
+        if staged:
+            lanes = min(lanes, STAGE1_MAX_LANES)
 
+        def solve_chunk(w_c):
+            L = w_c.shape[0]
+            res = jax.vmap(lambda wi: _solve(
+                wi, STAGE1_PIVOTS if staged else 0,
+                base.basis, base_atup))(w_c)
+            if staged:
+                max_trips = -(-L // STAGE2_LANES)
+
+                def _strag(r, att):
+                    return (r.status == STATUS_ITER_LIMIT) & ~att
+
+                def _cond(carry):
+                    r, att, t = carry
+                    return jnp.any(_strag(r, att)) & (t < max_trips)
+
+                def _body(carry):
+                    r, att, t = carry
+                    sg = _strag(r, att)
+                    idx = jnp.argsort(~sg)[:STAGE2_LANES]
+                    take = sg[idx]
+                    atup_all = jnp.concatenate(
+                        [r.cstat, r.rstat], axis=1) == AT_UPPER
+                    r2 = jax.vmap(lambda wi, bi, ai: _solve(wi, 0, bi, ai))(
+                        w_c[idx], r.basis[idx], atup_all[idx])
+
+                    def scat(old, new):
+                        tk = take.reshape((-1,) + (1,) * (new.ndim - 1))
+                        return old.at[idx].set(jnp.where(tk, new, old[idx]))
+
+                    r = jax.tree.map(scat, r, r2)
+                    return r, att.at[idx].set(att[idx] | take), t + 1
+
+                res, _, _ = lax.while_loop(
+                    _cond, _body,
+                    (res, jnp.zeros(L, bool), jnp.int32(0)))
+            return res.obj, res.status == STATUS_OPTIMAL
+
+        if batch > lanes:
             n_chunks = -(-batch // lanes)
             pad = n_chunks * lanes - batch
             w_p = jnp.concatenate([w, w[:pad]]) if pad else w
             objs_c, ok_c = lax.map(
-                jax.vmap(solve_one), w_p.reshape(n_chunks, lanes, -1))
+                solve_chunk, w_p.reshape(n_chunks, lanes, -1))
             objs = objs_c.reshape(-1)[:batch]
             ok = ok_c.reshape(-1)[:batch]
         else:
-            objs, ok = jax.vmap(solve_one)(w)
+            objs, ok = solve_chunk(w)
         objs = jnp.where(ok, objs, 0.0)
         n_ok = jnp.sum(ok)
         mean = jnp.sum(objs) / jnp.maximum(n_ok, 1)

@@ -35,17 +35,19 @@ from stochasticdecomposition_tpu.core.update import (
 from stochasticdecomposition_tpu.ops.simplex import STATUS_OPTIMAL
 from stochasticdecomposition_tpu.sampler import SamplerSpec, sample_omega
 
-# Staged batched-solve parameters (kernel-fault guard, RESULTS §4b.2).
-# Stage 1's pivot budget sits above the steady-state pivot tail (a 1024
-# budget still tripped stage 2 often enough to cost 14% steady rate on
-# stormlike SI=64 — measured A/B r5) but below the fault regime:
-# stormlike's own r4 driver runs executed ~5300-pivot x 64-lane f32
-# programs repeatedly without faulting, while the crashes (stormhvlike,
-# f64 probes) sat near the ~7200-pivot iteration cap.  Stage 2 finishes
-# at a lane width proven safe for 5000+ pivot solves (f64 8-lane storm
-# probes).
-STAGE1_PIVOTS = 2048
-STAGE2_LANES = 8
+# Staged batched-solve parameters (kernel-fault guard, RESULTS §4b.2) —
+# canonical values in ops/simplex.py, re-exported here (tests monkeypatch
+# this module's copy).  Stage 1's pivot budget sits above the steady-state
+# pivot tail (a 1024 budget still tripped stage 2 often enough to cost 14%
+# steady rate on stormlike SI=64 — measured A/B r5) but below the fault
+# regime: stormlike's own r4 driver runs executed ~5300-pivot x 64-lane
+# f32 programs repeatedly without faulting, while the crashes
+# (stormhvlike, f64 probes) sat near the ~7200-pivot iteration cap.
+# Stage 2 finishes at a lane width proven safe for 5000+ pivot solves
+# (f64 8-lane storm probes).
+from stochasticdecomposition_tpu.ops.simplex import (  # noqa: F401
+    STAGE1_PIVOTS, STAGE2_LANES,
+)
 
 
 def _staged_batch(pa: ProblemArrays, cfg: SDConfig) -> bool:
@@ -54,8 +56,10 @@ def _staged_batch(pa: ProblemArrays, cfg: SDConfig) -> bool:
     above the safe stage-2 lane width."""
     if cfg.SUBPROB_STAGED_BATCH is not None:
         return bool(cfg.SUBPROB_STAGED_BATCH)
+    from stochasticdecomposition_tpu.ops.simplex import STAGED_MIN_ROWS
+
     m = int(pa.D.shape[0])
-    return m >= 384 and int(cfg.SAMPLE_INCREMENT) > STAGE2_LANES
+    return m >= STAGED_MIN_ROWS and int(cfg.SAMPLE_INCREMENT) > STAGE2_LANES
 
 
 def make_substeps(pa: ProblemArrays, spec: SamplerSpec, cfg: SDConfig):

@@ -75,6 +75,21 @@ MAX_VMAP_LANES = 512
 LANE_HBM_BUDGET = 10 * 1024**3
 _LANE_HBM_COPIES = 64
 
+# Staged batched-solve parameters (kernel-fault guard, RESULTS §4b.2) —
+# canonical values shared by the SD loop (core/step.py) and the
+# out-of-sample evaluator (core/evaluate.py).  Stage 1 bounds the pivot
+# budget at full batch width (64-lane x ~5300-pivot storm programs are
+# proven safe; faults sat near the ~7200-pivot cap); stage 2 finishes
+# stragglers at a lane width proven safe for 5000+-pivot solves.
+STAGE1_PIVOTS = 2048
+STAGE2_LANES = 8
+# Stage-1 width proven at the pivot budget on device (stormhvlike SI=64
+# certified stops); staged batch paths clamp their dispatch width here.
+STAGE1_MAX_LANES = 64
+# Row count above which batched solve paths auto-enable the staged guard
+# (storm-class shapes; the fault regime was never observed below this).
+STAGED_MIN_ROWS = 384
+
 
 def mem_lane_cap(m: int, dtype_bytes: int = 4) -> int:
     """Widest safe vmap width for an m-row solve_lp batch: power of two in

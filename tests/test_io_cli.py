@@ -281,6 +281,38 @@ def test_mem_lane_cap_and_chunked_eval_equivalence(monkeypatch):
     np.testing.assert_allclose(float(ref[1]), float(chunked[1]), rtol=1e-10)
 
 
+def test_staged_eval_matches_unstaged(monkeypatch):
+    """The evaluator's kernel-fault staging (stage-1 bounded pivots +
+    stage-2 straggler finish, RESULTS §4b.2 — added after stormhvlike's
+    replication eval crashed the TPU worker) must be bit-equivalent to the
+    plain path.  Forced on via tiny thresholds so stage 2 really trips."""
+    import jax.numpy as jnp
+
+    from stochasticdecomposition_tpu.core.evaluate import make_eval_batch
+    from stochasticdecomposition_tpu.models.instances import load_instance
+    from stochasticdecomposition_tpu.ops import simplex
+    from stochasticdecomposition_tpu.prob import decompose
+    from stochasticdecomposition_tpu.runner import SDSolver, attach_stoc
+
+    core, tim, stoc = load_instance("pgp2like")
+    sp = attach_stoc(decompose(core, tim, stoc), stoc)
+    solver = SDSolver(sp, SDConfig(MAX_ITER=40, EVAL_FLAG=False))
+    x = jnp.asarray(solver.mean_sol)
+    key = jax.random.PRNGKey(11)
+    ref = make_eval_batch(solver.pa, solver.spec, 48)(x, key)
+    # stage everything: any row count qualifies, stage 1 gets a 3-pivot
+    # budget (pgp2like warm solves need more, so stragglers are real),
+    # stage 2 finishes 2 lanes per trip
+    monkeypatch.setattr(simplex, "STAGED_MIN_ROWS", 1)
+    monkeypatch.setattr(simplex, "STAGE1_PIVOTS", 3)
+    monkeypatch.setattr(simplex, "STAGE2_LANES", 2)
+    monkeypatch.setattr(simplex, "STAGE1_MAX_LANES", 16)
+    staged = make_eval_batch(solver.pa, solver.spec, 48)(x, key)
+    assert int(ref[2]) == int(staged[2])        # every lane solved
+    np.testing.assert_allclose(float(ref[0]), float(staged[0]), rtol=1e-12)
+    np.testing.assert_allclose(float(ref[1]), float(staged[1]), rtol=1e-10)
+
+
 @pytest.mark.slow
 def test_cli_checkpoint_and_resume(tmp_path):
     """--checkpoint-every writes .npz saves; --resume restarts from one."""
