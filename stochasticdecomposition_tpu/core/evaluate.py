@@ -32,6 +32,104 @@ class EvalResult(NamedTuple):
     dropped: int = 0     # infeasible subproblem lanes excluded from the mean
 
 
+def eval_lane_plan(pa: ProblemArrays, pivot_dtype=None):
+    """(lanes, staged) for batched evaluation solves at this shape.
+
+    ``lanes`` is the per-dispatch vmap width: MAX_VMAP_LANES guards the
+    TPU wide-vmap miscompile, mem_lane_cap guards the HBM peak at large
+    row counts (a 512-lane storm-shape eval program needs 36.6 GB of
+    temps; 128-lane chunks reuse the same buffers), and STAGE1_MAX_LANES
+    clamps staged dispatches to the width proven at the stage-1 pivot
+    budget.  ``staged`` enables the two-stage kernel-fault guard
+    (RESULTS §4b.2) on storm-class row counts.  Shared by the
+    single-device and sharded (parallel/mesh.py) evaluators."""
+    import jax.numpy as _jnp
+
+    from stochasticdecomposition_tpu.ops.simplex import (
+        MAX_VMAP_LANES, STAGE1_MAX_LANES, STAGE2_LANES, STAGED_MIN_ROWS,
+        mem_lane_cap,
+    )
+
+    nbytes = 4 if pivot_dtype == _jnp.float32 else pa.c1.dtype.itemsize
+    lanes = min(MAX_VMAP_LANES, mem_lane_cap(int(pa.D.shape[0]), nbytes))
+    staged = int(pa.D.shape[0]) >= STAGED_MIN_ROWS and lanes > STAGE2_LANES
+    if staged:
+        lanes = min(lanes, STAGE1_MAX_LANES)
+    return lanes, staged
+
+
+def warm_staged_chunk_solver(pa: ProblemArrays, x, staged: bool,
+                             pivot_dtype=None):
+    """Trace-time helper: returns ``solve_chunk(w_c) -> (obj[L], ok[L])``.
+
+    Solves the mean observation ONCE and warm-starts every scenario from
+    its optimal basis (all scenarios share x and differ only in rhs/cost,
+    so each warm solve is a handful of restart pivots instead of a cold
+    ~O(m+n)-pivot pass).  With ``staged`` (kernel-fault guard, RESULTS
+    §4b.2 — added after stormhvlike's replication eval crashed the TPU
+    worker: wide-spread draws put warm starts thousands of pivots out),
+    stage 1 solves the chunk under a bounded pivot budget and stage 2
+    gathers stragglers <= STAGE2_LANES at a time, finishing them with the
+    full budget from their own stage-1 bases."""
+    from jax import lax
+
+    from stochasticdecomposition_tpu.ops.simplex import (
+        AT_UPPER, STAGE1_PIVOTS, STAGE2_LANES, STATUS_ITER_LIMIT,
+    )
+
+    zero_w = jnp.zeros(pa.omega_mean.shape, pa.c1.dtype)
+    rhs0, cost0 = subproblem_rhs_cost(pa, x, zero_w)
+    base = solve_lp(pa.D, pa.sense2, cost0, pa.l2, pa.u2, rhs0,
+                    pivot_dtype=pivot_dtype, lite=True)
+    base_atup = jnp.concatenate([base.cstat, base.rstat]) == AT_UPPER
+
+    def _solve(wi, max_pivots, init_basis, init_atup):
+        rhs, cost = subproblem_rhs_cost(pa, x, wi)
+        return solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs,
+                        pivot_dtype=pivot_dtype, lite=True,
+                        max_iter=max_pivots,
+                        init_basis=init_basis, init_at_upper=init_atup)
+
+    def solve_chunk(w_c):
+        L = w_c.shape[0]
+        res = jax.vmap(lambda wi: _solve(
+            wi, STAGE1_PIVOTS if staged else 0,
+            base.basis, base_atup))(w_c)
+        if staged:
+            max_trips = -(-L // STAGE2_LANES)
+
+            def _strag(r, att):
+                return (r.status == STATUS_ITER_LIMIT) & ~att
+
+            def _cond(carry):
+                r, att, t = carry
+                return jnp.any(_strag(r, att)) & (t < max_trips)
+
+            def _body(carry):
+                r, att, t = carry
+                sg = _strag(r, att)
+                idx = jnp.argsort(~sg)[:STAGE2_LANES]
+                take = sg[idx]
+                atup_all = jnp.concatenate(
+                    [r.cstat, r.rstat], axis=1) == AT_UPPER
+                r2 = jax.vmap(lambda wi, bi, ai: _solve(wi, 0, bi, ai))(
+                    w_c[idx], r.basis[idx], atup_all[idx])
+
+                def scat(old, new):
+                    tk = take.reshape((-1,) + (1,) * (new.ndim - 1))
+                    return old.at[idx].set(jnp.where(tk, new, old[idx]))
+
+                r = jax.tree.map(scat, r, r2)
+                return r, att.at[idx].set(att[idx] | take), t + 1
+
+            res, _, _ = lax.while_loop(
+                _cond, _body,
+                (res, jnp.zeros(L, bool), jnp.int32(0)))
+        return res.obj, res.status == STATUS_OPTIMAL
+
+    return solve_chunk
+
+
 def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
                     pivot_dtype=None):
     """Jitted: (x, key) -> (mean, M2, n_ok) over one observation batch.
@@ -50,91 +148,13 @@ def make_eval_batch(pa: ProblemArrays, spec: SamplerSpec, batch: int,
         w_raw = sample_omega(spec, key, batch, dtype=dtype)
         w = w_raw - pa.omega_mean[None, :]
 
-        # Warm start the whole batch from the mean-observation optimal basis
-        # (all scenarios share x and differ only in rhs/cost, so each warm
-        # solve is a handful of phase-1 restart pivots instead of a cold
-        # ~O(m+n)-pivot pass).
-        from stochasticdecomposition_tpu.ops.simplex import AT_UPPER
-
-        rhs0, cost0 = subproblem_rhs_cost(pa, x, jnp.zeros_like(w[0]))
-        base = solve_lp(pa.D, pa.sense2, cost0, pa.l2, pa.u2, rhs0,
-                        pivot_dtype=pivot_dtype, lite=True)
-        base_atup = jnp.concatenate([base.cstat, base.rstat]) == AT_UPPER
-
-        def _solve(wi, max_pivots, init_basis, init_atup):
-            rhs, cost = subproblem_rhs_cost(pa, x, wi)
-            return solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs,
-                            pivot_dtype=pivot_dtype, lite=True,
-                            max_iter=max_pivots,
-                            init_basis=init_basis, init_at_upper=init_atup)
-
-        # Cap the vmap width per dispatch: MAX_VMAP_LANES guards the TPU
-        # wide-vmap miscompile, mem_lane_cap guards the HBM peak at large
-        # row counts (a 512-lane storm-shape eval program needs 36.6 GB of
-        # temps; 128-lane chunks reuse the same buffers).  Larger
-        # EVAL_BATCHes run as lax.map chunks inside this one jitted
-        # program — measured at the same throughput (the solver saturates
-        # the chip well below the caps), so this costs nothing.
         from jax import lax
 
-        from stochasticdecomposition_tpu.ops.simplex import (
-            MAX_VMAP_LANES, STAGE1_MAX_LANES, STAGE1_PIVOTS, STAGE2_LANES,
-            STAGED_MIN_ROWS, STATUS_ITER_LIMIT, mem_lane_cap,
-        )
-
-        nbytes = 4 if pivot_dtype == jnp.float32 else dtype.itemsize
-        lanes = min(MAX_VMAP_LANES, mem_lane_cap(pa.D.shape[0], nbytes))
-        # Kernel-fault guard (RESULTS §4b.2), same staging as the SD loop:
-        # on storm-class row counts, wide-spread observations put warm
-        # starts thousands of pivots from the mean basis, and long
-        # many-lane x 528-row solve programs crash the TPU worker (hit
-        # live: stormhvlike's replication eval, r5 session 2).  Stage 1
-        # solves each chunk at <=STAGE1_MAX_LANES width under a bounded
-        # pivot budget; stage 2 gathers stragglers <=STAGE2_LANES at a
-        # time and finishes them with the full budget from their own
-        # stage-1 bases.
-        staged = int(pa.D.shape[0]) >= STAGED_MIN_ROWS \
-            and lanes > STAGE2_LANES
-        if staged:
-            lanes = min(lanes, STAGE1_MAX_LANES)
-
-        def solve_chunk(w_c):
-            L = w_c.shape[0]
-            res = jax.vmap(lambda wi: _solve(
-                wi, STAGE1_PIVOTS if staged else 0,
-                base.basis, base_atup))(w_c)
-            if staged:
-                max_trips = -(-L // STAGE2_LANES)
-
-                def _strag(r, att):
-                    return (r.status == STATUS_ITER_LIMIT) & ~att
-
-                def _cond(carry):
-                    r, att, t = carry
-                    return jnp.any(_strag(r, att)) & (t < max_trips)
-
-                def _body(carry):
-                    r, att, t = carry
-                    sg = _strag(r, att)
-                    idx = jnp.argsort(~sg)[:STAGE2_LANES]
-                    take = sg[idx]
-                    atup_all = jnp.concatenate(
-                        [r.cstat, r.rstat], axis=1) == AT_UPPER
-                    r2 = jax.vmap(lambda wi, bi, ai: _solve(wi, 0, bi, ai))(
-                        w_c[idx], r.basis[idx], atup_all[idx])
-
-                    def scat(old, new):
-                        tk = take.reshape((-1,) + (1,) * (new.ndim - 1))
-                        return old.at[idx].set(jnp.where(tk, new, old[idx]))
-
-                    r = jax.tree.map(scat, r, r2)
-                    return r, att.at[idx].set(att[idx] | take), t + 1
-
-                res, _, _ = lax.while_loop(
-                    _cond, _body,
-                    (res, jnp.zeros(L, bool), jnp.int32(0)))
-            return res.obj, res.status == STATUS_OPTIMAL
-
+        lanes, staged = eval_lane_plan(pa, pivot_dtype)
+        solve_chunk = warm_staged_chunk_solver(pa, x, staged, pivot_dtype)
+        # Batches wider than the lane plan run as lax.map chunks inside
+        # this one jitted program — measured at the same throughput (the
+        # solver saturates the chip well below the caps).
         if batch > lanes:
             n_chunks = -(-batch // lanes)
             pad = n_chunks * lanes - batch

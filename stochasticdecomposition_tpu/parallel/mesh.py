@@ -90,8 +90,9 @@ def make_sharded_eval(pa, spec, batch: int, mesh: Mesh):
     Replaces the sequential evaluate loop (evaluate.c:49-103): each device
     solves batch/n_obs subproblem LPs; the sums reduce across the mesh.
     """
-    from stochasticdecomposition_tpu.core.update import subproblem_rhs_cost
-    from stochasticdecomposition_tpu.ops.simplex import STATUS_OPTIMAL, solve_lp
+    from stochasticdecomposition_tpu.core.evaluate import (
+        eval_lane_plan, warm_staged_chunk_solver,
+    )
     from stochasticdecomposition_tpu.sampler import sample_omega
 
     n_shard = mesh.shape["rep"] * mesh.shape["obs"]
@@ -105,23 +106,16 @@ def make_sharded_eval(pa, spec, batch: int, mesh: Mesh):
         w_raw = jax.lax.with_sharding_constraint(w_raw, batch_sharding)
         w = w_raw - pa.omega_mean[None, :]
 
-        def solve_one(wi):
-            rhs, cost = subproblem_rhs_cost(pa, x, wi)
-            res = solve_lp(pa.D, pa.sense2, cost, pa.l2, pa.u2, rhs)
-            return res.obj, res.status == STATUS_OPTIMAL
-
-        # Cap the PER-DEVICE vmap width (ops/simplex.MAX_VMAP_LANES guards
-        # the wide-vmap miscompile; mem_lane_cap guards the per-device HBM
-        # peak at large row counts).  The chunk width is max_lanes * n_shard
+        # Same per-dispatch lane plan and warm/staged chunk solver as the
+        # single-device evaluator (core/evaluate.py): MAX_VMAP_LANES
+        # guards the wide-vmap miscompile, mem_lane_cap the PER-DEVICE
+        # HBM peak, and the two-stage kernel-fault guard applies on
+        # storm-class row counts.  The chunk width is max_lanes * n_shard
         # so each lax.map step still spreads max_lanes lanes per device;
         # the per-chunk sharding constraint keeps the observation axis
         # distributed.
-        from stochasticdecomposition_tpu.ops.simplex import (
-            MAX_VMAP_LANES, mem_lane_cap,
-        )
-
-        max_lanes = min(MAX_VMAP_LANES,
-                        mem_lane_cap(pa.D.shape[0], dtype.itemsize))
+        max_lanes, staged = eval_lane_plan(pa, None)
+        solve_chunk = warm_staged_chunk_solver(pa, x, staged, None)
         chunk_w = max_lanes * n_shard
         if batch > chunk_w:
             assert batch % chunk_w == 0, (
@@ -131,11 +125,11 @@ def make_sharded_eval(pa, spec, batch: int, mesh: Mesh):
             w_c = w.reshape(n_chunks, chunk_w, -1)
             w_c = jax.lax.with_sharding_constraint(
                 w_c, NamedSharding(mesh, P(None, ("rep", "obs"), None)))
-            objs, ok = jax.lax.map(jax.vmap(solve_one), w_c)
+            objs, ok = jax.lax.map(solve_chunk, w_c)
             objs = objs.reshape(-1)
             ok = ok.reshape(-1)
         else:
-            objs, ok = jax.vmap(solve_one)(w)
+            objs, ok = solve_chunk(w)
         objs = jnp.where(ok, objs, 0.0)
         # Same (mean, M2, n_ok) Welford-batch contract as make_eval_batch;
         # the sums below are global (XLA inserts the cross-device psum).
